@@ -1,0 +1,281 @@
+"""Deterministic synthetic generator for the `sequences` input table (FIXTURES.md).
+
+Schema (BASELINE.json `input_hint`):
+    doc_id: string    -- f"{source}_{i:08d}"  (prefixed-ID shape, cf. the reference's
+                          ID regex checks /root/reference/File_Submission_Object.py:302-336)
+    tokens: list<int32>  -- lengths ~ clipped lognormal mean≈512 in [1, 4096],
+                            values uniform in [0, VOCAB)
+    n_tok:  int32     -- len(tokens), except planted violations
+    source: string    -- skewed categorical; "web" ≈ 60% (the hot key)
+
+The bad variant plants the exact violation sets of FIXTURES.md §3 (disjoint row
+sets, golden counts) — mirroring the reference's known-bad fixture submission
+(/root/reference/conftest.py:17-30, test_bad_submission.py).
+
+Generation is seeded and pure-numpy; one file per (source, chunk) so a file is
+a *partition* (≙ one submission folder in the reference,
+/root/reference/Data_Validation_v2.py:154).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50257
+SOURCES = ["web", "books", "code", "wiki", "forums"]
+SOURCE_WEIGHTS = [0.60, 0.10, 0.10, 0.10, 0.10]
+MAX_LEN = 4096
+N_TOK_RANGE = (1, MAX_LEN)
+
+SEQUENCES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=True),
+        pa.field("tokens", pa.list_(pa.int32()), nullable=True),
+        pa.field("n_tok", pa.int32(), nullable=True),
+        pa.field("source", pa.string(), nullable=True),
+    ]
+)
+
+# FIXTURES.md §3 golden plant counts (sf-small)
+PLANT = {
+    "doc_id.not_null": 7,
+    "doc_id.format": 11,
+    "doc_id.unique_extra": 8,  # 5 ids ×2 (5 extra) + 1 id ×4 (3 extra) → 6 dup ids
+    "source.referential": 13,
+    "tokens.range": 9,
+    "n_tok.range": 4,
+    "n_tok.eq_len": 17,
+}
+EXPECTED_BAD_COUNTS = {
+    "doc_id.not_null": 7,
+    "doc_id.format": 11,
+    "doc_id.unique": 6,
+    "source.referential": 13,
+    "tokens.range": 9,
+    "n_tok.range": 4,
+    "n_tok.eq_len": 17,
+    "schema.conformance": 1,
+}
+BAD_SCHEMA_FILE_ROWS = 50
+
+
+@dataclass
+class GenResult:
+    out_dir: str
+    files: list[str] = field(default_factory=list)
+    n_rows: int = 0
+
+
+def _gen_core(n_rows: int, seed: int):
+    rng = np.random.default_rng(seed)
+    src_idx = rng.choice(len(SOURCES), size=n_rows, p=SOURCE_WEIGHTS)
+    sigma = 0.6
+    mu = np.log(512.0) - sigma * sigma / 2.0
+    lengths = np.clip(rng.lognormal(mu, sigma, n_rows), 1, MAX_LEN).astype(np.int64)
+    total = int(lengths.sum())
+    values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    sources = np.array(SOURCES)[src_idx]
+    doc_ids = np.array([f"{s}_{i:08d}" for i, s in enumerate(sources)], dtype=object)
+    return sources, doc_ids, lengths, offsets, values, rng
+
+
+def _plant_bad(sources, doc_ids, lengths, offsets, values, rng):
+    """Apply FIXTURES.md §3 corruptions in-place on disjoint row index sets."""
+    n = len(sources)
+    # plant row-level corruptions only on non-"forums" rows: "forums" is the
+    # whole-source drift plant and the shift would clobber planted token values
+    order = rng.permutation(np.nonzero(sources != "forums")[0])
+    cursor = 0
+
+    def take(k):
+        nonlocal cursor
+        rows = order[cursor : cursor + k]
+        cursor += k
+        return rows
+
+    n_tok = lengths.astype(np.int32).copy()
+
+    # doc_id.not_null: 4 empty + 3 None
+    rows = take(PLANT["doc_id.not_null"])
+    for j, r in enumerate(rows):
+        doc_ids[r] = "" if j < 4 else None
+
+    # doc_id.format: 6 no-underscore, 5 wrong prefix (still regex-valid)
+    rows = take(PLANT["doc_id.format"])
+    for j, r in enumerate(rows):
+        if j < 6:
+            doc_ids[r] = f"badid{r:08d}"
+        else:
+            wrong = SOURCES[(SOURCES.index(sources[r]) + 1) % len(SOURCES)]
+            doc_ids[r] = f"{wrong}_{r:08d}"
+
+    # doc_id.unique: overwrite 8 donor rows with ids of 6 victim rows
+    donors = take(PLANT["doc_id.unique_extra"])
+    victims = take(6)
+    # 5 ids duplicated ×2
+    for j in range(5):
+        doc_ids[donors[j]] = doc_ids[victims[j]]
+        sources[donors[j]] = sources[victims[j]]  # keep prefix consistent
+    # 1 id duplicated ×4 (3 extra copies)
+    for j in range(5, 8):
+        doc_ids[donors[j]] = doc_ids[victims[5]]
+        sources[donors[j]] = sources[victims[5]]
+
+    # source.referential: unknown source, prefix kept consistent so only this fires
+    rows = take(PLANT["source.referential"])
+    for r in rows:
+        sources[r] = "sp4m"
+        doc_ids[r] = f"sp4m_{r:08d}"
+
+    # tokens.range: first token out of range
+    rows = take(PLANT["tokens.range"])
+    for j, r in enumerate(rows):
+        values[offsets[r]] = -1 if j < 5 else VOCAB + 5
+
+    # n_tok.range: out-of-range declared length (also makes eq_len Not-Validated)
+    rows = take(PLANT["n_tok.range"])
+    for j, r in enumerate(rows):
+        n_tok[r] = 0 if j < 2 else 1_000_000
+
+    # n_tok.eq_len: declared ≠ actual, still in valid range
+    rows = take(PLANT["n_tok.eq_len"])
+    for j, r in enumerate(rows):
+        delta = (j % 3) + 1
+        cand = int(lengths[r]) + (delta if int(lengths[r]) + delta <= MAX_LEN else -delta)
+        n_tok[r] = np.int32(max(1, cand))
+
+    # drift.source: shift ALL of source "forums" token values to upper half of vocab
+    drift_rows = np.nonzero(sources == "forums")[0]
+    for r in drift_rows:
+        seg = slice(offsets[r], offsets[r + 1])
+        values[seg] = VOCAB // 2 + (values[seg].astype(np.int64) % (VOCAB - VOCAB // 2)).astype(
+            np.int32
+        )
+    return n_tok
+
+
+def _write_partitions(out_dir, sources, doc_ids, lengths, offsets, values, n_tok, rows_per_file):
+    os.makedirs(out_dir, exist_ok=True)
+    files = []
+    tokens_all = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), pa.array(values))
+    for src in sorted(set(sources.tolist())):
+        rows = np.nonzero(sources == src)[0]
+        for k in range(0, len(rows), rows_per_file):
+            chunk = rows[k : k + rows_per_file]
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[chunk].tolist(), type=pa.string()),
+                    "tokens": tokens_all.take(pa.array(chunk, type=pa.int64())),
+                    "n_tok": pa.array(n_tok[chunk], type=pa.int32()),
+                    "source": pa.array(sources[chunk].tolist(), type=pa.string()),
+                },
+                schema=SEQUENCES_SCHEMA,
+            )
+            path = os.path.join(out_dir, f"part-{src}-{k // rows_per_file:04d}.parquet")
+            pq.write_table(tbl, path, row_group_size=min(rows_per_file, 64 * 1024))
+            files.append(path)
+    return files
+
+
+def generate_sequences(
+    out_dir: str,
+    n_rows: int = 10_000,
+    seed: int = 42,
+    bad: bool = False,
+    rows_per_file: int | None = None,
+) -> GenResult:
+    """Generate the sequences table; idempotent (skips if marker matches)."""
+    marker = os.path.join(out_dir, "_GEN_OK.json")
+    params = {"n_rows": n_rows, "seed": seed, "bad": bad, "rows_per_file": rows_per_file, "v": 3}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                st = json.load(f)
+            if st.get("params") == params:
+                return GenResult(out_dir, st["files"], n_rows)
+        except Exception:
+            pass
+    sources, doc_ids, lengths, offsets, values, rng = _gen_core(n_rows, seed)
+    if bad:
+        n_tok = _plant_bad(sources, doc_ids, lengths, offsets, values, rng)
+    else:
+        n_tok = lengths.astype(np.int32)
+    rpf = rows_per_file or max(2048, n_rows // 16)
+    files = _write_partitions(out_dir, sources, doc_ids, lengths, offsets, values, n_tok, rpf)
+
+    if bad:
+        # schema-conformance plant: one file with n_tok:int64 and NO source column
+        m = BAD_SCHEMA_FILE_ROWS
+        rng2 = np.random.default_rng(seed + 1)
+        lens = np.clip(rng2.lognormal(np.log(512.0), 0.6, m), 1, MAX_LEN).astype(np.int64)
+        offs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        vals = rng2.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"badschema_{i:08d}" for i in range(m)]),
+                "tokens": pa.ListArray.from_arrays(pa.array(offs, type=pa.int64()), pa.array(vals)),
+                "n_tok": pa.array(lens, type=pa.int64()),  # wrong physical type
+            }
+        )
+        path = os.path.join(out_dir, "part-badschema-0000.parquet")
+        pq.write_table(tbl, path)
+        files.append(path)
+
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"params": params, "files": files}, f)
+    os.replace(marker + ".tmp", marker)
+    return GenResult(out_dir, files, n_rows)
+
+
+def compute_reference_histograms(clean_dir: str) -> dict:
+    """Per-source reference histograms from a clean generation (drift baseline).
+
+    Returns {source: {"token_hist": int64[64], "n_tok_hist": int64[32],
+    "token_edges": float64[65], "n_tok_edges": float64[33]}} — the broadcast
+    state for the drift actor pool (≙ the reference tables injected once per
+    run, /root/reference/Data_Validation_v1.py:277-303).
+    """
+    from seronet_data_validator_ray.sketches import Histogram
+
+    import glob
+
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(clean_dir, "part-*.parquet"))):
+        tbl = pq.read_table(path, columns=["tokens", "n_tok", "source"])
+        if "source" not in tbl.column_names:
+            continue
+        src_arr = tbl["source"].to_numpy(zero_copy_only=False)
+        flat = tbl["tokens"].combine_chunks()
+        for src in np.unique(src_arr):
+            if src not in out:
+                th = Histogram.uniform(0, VOCAB, 64)
+                nh = Histogram.log_spaced(1, MAX_LEN, 32)
+                out[src] = {
+                    "token_hist": th,
+                    "n_tok_hist": nh,
+                }
+            mask = src_arr == src
+            sub = flat.filter(pa.array(mask))
+            vals = sub.flatten().to_numpy(zero_copy_only=False)
+            out[src]["token_hist"].add_array(vals)
+            out[src]["n_tok_hist"].add_array(
+                tbl["n_tok"].to_numpy(zero_copy_only=False)[mask]
+            )
+    return {
+        s: {
+            "token_hist": d["token_hist"].counts,
+            "token_edges": d["token_hist"].edges,
+            "n_tok_hist": d["n_tok_hist"].counts,
+            "n_tok_edges": d["n_tok_hist"].edges,
+        }
+        for s, d in out.items()
+    }

@@ -1,0 +1,233 @@
+"""Vectorized rule kernels over zero-copy Arrow batches.
+
+Each kernel maps the semantics of one reference check primitive
+(SURVEY.md §2.2) onto ``pyarrow.compute`` / numpy — no Python loop ever runs
+over rows. A kernel has signature::
+
+    kernel(table: pa.Table, column: str, params: dict, ctx: dict)
+        -> (fail_mask: np.ndarray[bool], observed)
+
+``observed`` is ``None`` (report the rule column's value), a full-length
+``pa.Array`` to take failing indices from, or a ``dict[int, str]`` of
+precomputed per-row observed values (used by list kernels to report the
+offending element). Null cells never *fail* a kernel other than ``not_null``
+— missingness is its own rule (≙ get_missing_values,
+/root/reference/File_Submission_Object.py:590-622), so a single bad cell is
+reported exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _col(table: pa.Table, name: str) -> pa.Array:
+    return table.column(name).combine_chunks()
+
+
+def _to_bool(mask) -> np.ndarray:
+    if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+        mask = pc.fill_null(mask, False)
+        return np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+    return np.asarray(mask, dtype=bool)
+
+
+def _resolve_values(params: dict, ctx: dict):
+    if "ref" in params:
+        return ctx[params["ref"]]
+    return params["values"]
+
+
+# ----------------------------------------------------------------- kernels
+
+def k_not_null(table, column, params, ctx):
+    """≙ get_missing_values: '' is the explicit missing token
+    (/root/reference/File_Submission_Object.py:594-596); Arrow nulls too."""
+    col = _col(table, column)
+    null = pc.is_null(col)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        empty = pc.equal(col, "")
+        fail = pc.or_kleene(null, pc.fill_null(empty, False))
+    else:
+        fail = null
+    return _to_bool(fail), None
+
+
+def k_in_set(table, column, params, ctx):
+    """≙ check_in_list (/root/reference/File_Submission_Object.py:369-385) and
+    the broadcast-allowed-set anti-join check_assay_special (:289-300)."""
+    col = _col(table, column)
+    values = list(_resolve_values(params, ctx))
+    ok = pc.is_in(col, value_set=pa.array(values, type=col.type))
+    fail = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
+    if pa.types.is_string(col.type):
+        fail = pc.and_kleene(fail, pc.invert(pc.fill_null(pc.equal(col, ""), False)))
+    return _to_bool(fail), None
+
+
+def k_regex(table, column, params, ctx):
+    """≙ check_id_field regex shape check
+    (/root/reference/File_Submission_Object.py:302-336)."""
+    col = _col(table, column)
+    ok = pc.match_substring_regex(col, params["pattern"])
+    fail = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
+    fail = pc.and_kleene(fail, pc.invert(pc.fill_null(pc.equal(col, ""), False)))
+    return _to_bool(fail), None
+
+
+def k_id_format(table, column, params, ctx):
+    """ID shape + prefix-vs-source consistency in one rule (≙ check_id_field's
+    regex + CBC-prefix ownership, /root/reference/File_Submission_Object.py:302-336).
+
+    params: pattern (anchored regex), prefix_of (column whose value must equal
+    the id's prefix before ``sep``), sep (default "_")."""
+    col = _col(table, column)
+    sep = params.get("sep", "_")
+    bad_shape = pc.invert(pc.match_substring_regex(col, params["pattern"]))
+    fail = pc.fill_null(bad_shape, False)
+    if params.get("prefix_of"):
+        other = _col(table, params["prefix_of"])
+        prefix = pc.list_element(pc.split_pattern(col, sep), 0)
+        bad_prefix = pc.not_equal(prefix, other)
+        fail = pc.or_kleene(fail, pc.fill_null(bad_prefix, False))
+    fail = pc.and_kleene(fail, pc.is_valid(col))
+    fail = pc.and_kleene(fail, pc.invert(pc.fill_null(pc.equal(col, ""), False)))
+    return _to_bool(fail), None
+
+
+def k_range(table, column, params, ctx):
+    """≙ check_if_number bounds + integrality
+    (/root/reference/File_Submission_Object.py:433-469)."""
+    col = _col(table, column)
+    lo, hi = params.get("lo"), params.get("hi")
+    fail = pa.array(np.zeros(len(col), dtype=bool))
+    if lo is not None:
+        fail = pc.or_kleene(fail, pc.less(col, lo))
+    if hi is not None:
+        fail = pc.or_kleene(fail, pc.greater(col, hi))
+    if params.get("integer") and pa.types.is_floating(col.type):
+        fail = pc.or_kleene(fail, pc.not_equal(col, pc.floor(col)))
+    return _to_bool(pc.fill_null(fail, False)), None
+
+
+def k_list_value_range(table, column, params, ctx):
+    """All list elements must lie in [lo, hi) — the token-range check
+    (≙ check_if_number applied element-wise, SURVEY.md M6). Reports the first
+    offending element per row as the observed value."""
+    col = _col(table, column)
+    lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    lo, hi = params["lo"], params["hi"]
+    bad = (flat < lo) | (flat >= hi)
+    n = len(col)
+    mask = np.zeros(n, dtype=bool)
+    observed: dict[int, str] = {}
+    if bad.any():
+        parents = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        bad_idx = np.nonzero(bad)[0]
+        rows, first = np.unique(parents[bad_idx], return_index=True)
+        mask[rows] = True
+        firsts = flat[bad_idx[first]]
+        observed = {int(r): str(v) for r, v in zip(rows, firsts)}
+    return mask, observed
+
+
+def k_eq_len_of(table, column, params, ctx):
+    """Declared length == actual container length — ``n_tok == len(tokens)``
+    (≙ the cross-column arithmetic invariants compare_total_to_live /
+    compare_viability, /root/reference/File_Submission_Object.py:519-552).
+
+    params: of (list or string column), mode ("list" | "utf8")."""
+    col = _col(table, column)
+    of = _col(table, params["of"])
+    if params.get("mode", "list") == "list":
+        length = pc.list_value_length(of)
+    else:
+        length = pc.utf8_length(of)
+    length = pc.cast(length, col.type)
+    fail = pc.not_equal(col, length)
+    mask = _to_bool(fail)
+    obs = pc.binary_join_element_wise(
+        pc.cast(col, pa.string()), pc.cast(length, pa.string()), "!="
+    )
+    return mask, obs
+
+
+def k_col_cmp(table, column, params, ctx):
+    """Cross-column comparison (≙ compare_total_to_live ``Total >= Live``,
+    /root/reference/File_Submission_Object.py:519-529).
+    params: other, op in {ge, le, gt, lt, eq, ne}."""
+    col = _col(table, column)
+    other = _col(table, params["other"])
+    op = {
+        "ge": pc.greater_equal,
+        "le": pc.less_equal,
+        "gt": pc.greater,
+        "lt": pc.less,
+        "eq": pc.equal,
+        "ne": pc.not_equal,
+    }[params["op"]]
+    fail = pc.invert(op(col, other))
+    return _to_bool(pc.fill_null(fail, False)), None
+
+
+def k_substr_of(table, column, params, ctx):
+    """Hierarchical-ID nesting: value must be a substring of another column
+    (≙ check_if_substr, /root/reference/File_Submission_Object.py:356-367)."""
+    col = _col(table, column)
+    other = _col(table, params["other"])
+    # pc.match_substring takes a scalar pattern only; per-row containment falls
+    # back to numpy object ops (used for low-volume ID checks, not hot paths)
+    a = col.to_numpy(zero_copy_only=False)
+    b = other.to_numpy(zero_copy_only=False)
+    mask = np.array(
+        [not (x is None or y is None or str(x) in str(y)) for x, y in zip(a, b)],
+        dtype=bool,
+    )
+    return mask, None
+
+
+def k_contains_any(table, column, params, ctx):
+    """Substring-containment against a list (≙ check_interpertation,
+    /root/reference/File_Submission_Object.py:387-397)."""
+    col = pc.utf8_lower(_col(table, column))
+    ok = pa.array(np.zeros(len(col), dtype=bool))
+    for v in _resolve_values(params, ctx):
+        ok = pc.or_kleene(ok, pc.match_substring(col, str(v).lower()))
+    fail = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
+    return _to_bool(fail), None
+
+
+def k_str_len_range(table, column, params, ctx):
+    """String length bounds (quality-check primitive)."""
+    col = _col(table, column)
+    length = pc.utf8_length(col)
+    lo, hi = params.get("lo"), params.get("hi")
+    fail = pa.array(np.zeros(len(col), dtype=bool))
+    if lo is not None:
+        fail = pc.or_kleene(fail, pc.less(length, lo))
+    if hi is not None:
+        fail = pc.or_kleene(fail, pc.greater(length, hi))
+    return _to_bool(pc.fill_null(fail, False)), None
+
+
+KERNELS = {
+    "not_null": k_not_null,
+    "in_set": k_in_set,
+    "regex": k_regex,
+    "id_format": k_id_format,
+    "range": k_range,
+    "list_value_range": k_list_value_range,
+    "eq_len_of": k_eq_len_of,
+    "col_cmp": k_col_cmp,
+    "substr_of": k_substr_of,
+    "contains_any": k_contains_any,
+    "str_len_range": k_str_len_range,
+}
+
+
+def evaluate_kernel(table: pa.Table, kind: str, column: str, params: dict, ctx: dict):
+    return KERNELS[kind](table, column, params, ctx)

@@ -1,0 +1,181 @@
+"""Provenance-preserving Parquet source with a distributed schema gate.
+
+The reference reads one CSV per sheet and reports errors with the original
+1-based file row index (/root/reference/File_Submission_Object.py:74-90, 263);
+a mismatching header set gates a submission off from row rules
+(column_validation :140-168; gate /root/reference/Data_Validation_v2.py:231-244).
+
+Here the same contract over Parquet at scale:
+
+- **plan**: a distributed footer scan (one lightweight Ray task batch per
+  file — only the footer is read) checks the declared ``pa.Schema`` against
+  each file and yields (file, row-group-range, row-offset) work items for the
+  conforming files. Schema-violating files become partition-level violations
+  and never feed row rules.
+- **read**: one task per work item reads its row groups (column-pruned) and
+  appends ``partition`` (file name) and ``row_index`` (0-based offset within
+  the file) — provenance that survives any downstream repartitioning, never
+  relying on ``preserve_order`` (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass
+class FileMeta:
+    path: str
+    partition: str
+    num_rows: int
+    row_group_rows: list[int]
+    schema_ok: bool
+    schema_msg: str = ""
+
+
+@dataclass
+class ReadPlan:
+    files: list[FileMeta] = field(default_factory=list)
+
+    @property
+    def good_files(self) -> list[FileMeta]:
+        return [f for f in self.files if f.schema_ok]
+
+    @property
+    def bad_files(self) -> list[FileMeta]:
+        return [f for f in self.files if not f.schema_ok]
+
+    def work_items(self, target_rows_per_task: int = 128 * 1024) -> list[dict]:
+        items = []
+        for f in self.good_files:
+            start, offset, acc = 0, 0, 0
+            for i, rg_rows in enumerate(f.row_group_rows):
+                acc += rg_rows
+                if acc >= target_rows_per_task or i == len(f.row_group_rows) - 1:
+                    items.append(
+                        {
+                            "path": f.path,
+                            "partition": f.partition,
+                            "rg_start": start,
+                            "rg_end": i + 1,
+                            "row_offset": offset,
+                        }
+                    )
+                    start, offset, acc = i + 1, offset + acc, 0
+        return items
+
+
+def _schema_compatible(actual: pa.Schema, expected: pa.Schema) -> tuple[bool, str]:
+    """Name-set + physical-type conformance (≙ the symmetric header diff of
+    column_validation, upgraded to typed Parquet)."""
+    a_names, e_names = set(actual.names), set(expected.names)
+    missing = e_names - a_names
+    extra = a_names - e_names
+    msgs = []
+    if missing:
+        msgs.append(f"missing columns: {sorted(missing)}")
+    if extra:
+        msgs.append(f"unexpected columns: {sorted(extra)}")
+    for name in e_names & a_names:
+        et, at = expected.field(name).type, actual.field(name).type
+        if not at.equals(et):
+            msgs.append(f"column {name}: expected {et}, got {at}")
+    return (not msgs), "; ".join(msgs)
+
+
+def plan_read(
+    paths: list[str] | str,
+    expected_schema: pa.Schema | None = None,
+    file_glob: str = "part-*.parquet",
+) -> ReadPlan:
+    """Distributed footer scan → :class:`ReadPlan`. Ray must be initialised."""
+    import ray
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = sorted(glob.glob(os.path.join(paths, file_glob)))
+    if not paths:
+        return ReadPlan([])
+
+    def footer(row: dict) -> dict:
+        f = pq.ParquetFile(row["path"])
+        md = f.metadata
+        return {
+            "path": row["path"],
+            "num_rows": md.num_rows,
+            "row_group_rows": [md.row_group(i).num_rows for i in range(md.num_row_groups)],
+            "schema_names": f.schema_arrow.names,
+            "schema_str": f.schema_arrow.serialize().to_pybytes(),
+        }
+
+    if len(paths) <= 16:
+        metas = [footer({"path": p}) for p in paths]  # driver-side below fan-out threshold
+    else:
+        metas = ray.data.from_items([{"path": p} for p in paths]).map(footer).take_all()
+
+    plan = ReadPlan()
+    for m in sorted(metas, key=lambda r: r["path"]):
+        actual = pa.ipc.read_schema(pa.BufferReader(m["schema_str"]))
+        ok, msg = (True, "")
+        if expected_schema is not None:
+            ok, msg = _schema_compatible(actual, expected_schema)
+        plan.files.append(
+            FileMeta(
+                path=m["path"],
+                partition=os.path.basename(m["path"]),
+                num_rows=m["num_rows"],
+                row_group_rows=list(m["row_group_rows"]),
+                schema_ok=ok,
+                schema_msg=msg,
+            )
+        )
+    return plan
+
+
+class _RowGroupReader:
+    """Reads one work item's row groups, appending provenance columns."""
+
+    def __init__(self, columns: list[str] | None):
+        self.columns = columns
+
+    def __call__(self, items: pa.Table) -> pa.Table:
+        out = []
+        for item in items.to_pylist():
+            f = pq.ParquetFile(item["path"])
+            tbl = f.read_row_groups(
+                list(range(item["rg_start"], item["rg_end"])), columns=self.columns
+            )
+            n = len(tbl)
+            tbl = tbl.append_column(
+                "partition", pa.array([item["partition"]] * n, type=pa.string())
+            )
+            tbl = tbl.append_column(
+                "row_index",
+                pa.array(
+                    np.arange(item["row_offset"], item["row_offset"] + n, dtype=np.int64)
+                ),
+            )
+            out.append(tbl)
+        return pa.concat_tables(out) if out else pa.table({})
+
+
+def read_with_provenance(
+    items: list[dict],
+    columns: list[str] | None = None,
+    target_rows_per_task: int = 128 * 1024,
+):
+    """Work items → ``ray.data.Dataset`` of data blocks + (partition, row_index)."""
+    import ray.data
+
+    ds = ray.data.from_items(items)
+    return ds.map_batches(
+        _RowGroupReader(columns),
+        batch_size=1,  # one read task per work item (item ≈ target_rows_per_task rows)
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,198 @@
+"""The fused row-local rule evaluator — ONE ``map_batches`` pass per batch.
+
+Replaces the reference's per-column Python dispatch loop
+(/root/reference/Validation_Rules.py:4-61) with a single vectorized pass that
+evaluates every row-local rule AND accumulates the per-column stats partial,
+emitting a *small* outcome table per batch:
+
+- ``kind="violation"`` rows — one per (rule, failing row), schema per
+  FIXTURES.md §4 (≙ Error_list, /root/reference/File_Submission_Object.py:71-72),
+- one ``kind="stats"`` row per partition present in the batch, carrying the
+  pickled :class:`PartialStats` in a binary column.
+
+The heavy input batch (tokens lists) is read once and dropped; only the small
+outcome flows on. Used as an actor-pool stage
+(``map_batches(RuleEvaluator, concurrency=..., batch_format="pyarrow",
+zero_copy_batch=True)``) so rule compilation and the broadcast allowed-set
+lookup happen once per actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from seronet_data_validator_ray.rules.kernels import evaluate_kernel
+from seronet_data_validator_ray.rules.spec import RuleSpec, Severity
+from seronet_data_validator_ray.stages.stats import PartialStats, StatsSpec
+
+OUTCOME_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("rule_id", pa.string()),
+        pa.field("partition", pa.string()),
+        pa.field("row_index", pa.int64()),
+        pa.field("doc_id", pa.string()),
+        pa.field("column", pa.string()),
+        pa.field("observed", pa.string()),
+        pa.field("severity", pa.string()),
+        pa.field("message", pa.string()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+VIOLATION_COLUMNS = [
+    "rule_id",
+    "partition",
+    "row_index",
+    "doc_id",
+    "column",
+    "observed",
+    "severity",
+    "message",
+]
+
+
+def _string_take(col: pa.Array, idx: np.ndarray) -> pa.Array:
+    taken = col.take(pa.array(idx, type=pa.int64()))
+    if not pa.types.is_string(taken.type):
+        try:
+            taken = pc.cast(taken, pa.string())
+        except pa.ArrowInvalid:
+            taken = pa.array([str(v) for v in taken.to_pylist()], type=pa.string())
+    return taken
+
+
+class RuleEvaluator:
+    """Callable-class stage: compile once per actor, evaluate per batch."""
+
+    def __init__(
+        self,
+        rules: list[RuleSpec],
+        ctx: dict | None = None,
+        ctx_ref=None,
+        key_column: str | None = "doc_id",
+        stats_spec: StatsSpec | None = None,
+    ):
+        if ctx_ref is not None:
+            import ray
+
+            ctx = dict(ctx or {})
+            ctx.update(ray.get(ctx_ref))
+        self.ctx = ctx or {}
+        self.rules = [r for r in rules if r.kind != "unique"]
+        self.key_column = key_column
+        self.stats_spec = stats_spec
+
+    # ----------------------------------------------------------------- helpers
+
+    def _provenance(self, batch: pa.Table):
+        n = len(batch)
+        if "partition" in batch.column_names:
+            part = batch.column("partition").combine_chunks()
+        else:
+            part = pa.array([self.ctx.get("default_partition", "")] * n)
+        if "row_index" in batch.column_names:
+            ridx = batch.column("row_index").combine_chunks()
+        else:
+            ridx = pa.array(np.full(n, -1, dtype=np.int64))
+        return part, ridx
+
+    def _emit(self, batch, part, ridx, key, spec, mask, observed, severity):
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            return None
+        take_idx = pa.array(idx, type=pa.int64())
+        if isinstance(observed, dict):
+            obs = pa.array([observed.get(int(i), "") for i in idx], type=pa.string())
+        elif observed is not None:
+            obs = _string_take(observed, idx)
+        elif spec.column in batch.column_names:
+            obs = _string_take(batch.column(spec.column).combine_chunks(), idx)
+        else:
+            obs = pa.array([""] * len(idx), type=pa.string())
+        msg = spec.describe() if severity != Severity.NOT_VALIDATED else (
+            f"{spec.rule_id}: dependency invalid, rule not evaluated"
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["violation"] * len(idx)),
+                "rule_id": pa.array([spec.rule_id] * len(idx)),
+                "partition": part.take(take_idx),
+                "row_index": pc.cast(ridx.take(take_idx), pa.int64()),
+                "doc_id": key.take(take_idx) if key is not None else pa.nulls(len(idx), pa.string()),
+                "column": pa.array([spec.column] * len(idx)),
+                "observed": obs,
+                "severity": pa.array([severity] * len(idx)),
+                "message": pa.array([msg] * len(idx)),
+                "n_rows": pa.nulls(len(idx), pa.int64()),
+                "payload": pa.nulls(len(idx), pa.binary()),
+            },
+            schema=OUTCOME_SCHEMA,
+        )
+
+    # ----------------------------------------------------------------- call
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        part, ridx = self._provenance(batch)
+        if self.key_column and self.key_column in batch.column_names:
+            key = batch.column(self.key_column).combine_chunks()
+            if not pa.types.is_string(key.type):
+                key = pc.cast(key, pa.string())
+        else:
+            key = None
+
+        out: list[pa.Table] = []
+        for spec in self.rules:
+            dep_fail = None
+            if spec.dependency is not None:
+                dkind, dcol, dparams = spec.dependency
+                dep_fail, _ = evaluate_kernel(batch, dkind, dcol, dparams, self.ctx)
+                t = self._emit(
+                    batch, part, ridx, key, spec, dep_fail, None, Severity.NOT_VALIDATED
+                )
+                if t is not None:
+                    out.append(t)
+            mask, observed = evaluate_kernel(
+                batch, spec.kind, spec.column, spec.params, self.ctx
+            )
+            if dep_fail is not None:
+                mask = mask & ~dep_fail
+            t = self._emit(batch, part, ridx, key, spec, mask, observed, spec.severity)
+            if t is not None:
+                out.append(t)
+
+        if self.stats_spec is not None:
+            parts_np = part.to_numpy(zero_copy_only=False)
+            stats_rows = {"partition": [], "n_rows": [], "payload": []}
+            for p in np.unique(np.asarray(parts_np, dtype=object)):
+                pmask = parts_np == p
+                sub = batch.filter(pa.array(pmask))
+                ps = PartialStats(self.stats_spec).update(sub)
+                stats_rows["partition"].append(str(p))
+                stats_rows["n_rows"].append(len(sub))
+                stats_rows["payload"].append(ps.to_bytes())
+            k = len(stats_rows["partition"])
+            out.append(
+                pa.table(
+                    {
+                        "kind": pa.array(["stats"] * k),
+                        "rule_id": pa.nulls(k, pa.string()),
+                        "partition": pa.array(stats_rows["partition"], type=pa.string()),
+                        "row_index": pa.nulls(k, pa.int64()),
+                        "doc_id": pa.nulls(k, pa.string()),
+                        "column": pa.nulls(k, pa.string()),
+                        "observed": pa.nulls(k, pa.string()),
+                        "severity": pa.nulls(k, pa.string()),
+                        "message": pa.nulls(k, pa.string()),
+                        "n_rows": pa.array(stats_rows["n_rows"], type=pa.int64()),
+                        "payload": pa.array(stats_rows["payload"], type=pa.binary()),
+                    },
+                    schema=OUTCOME_SCHEMA,
+                )
+            )
+        if not out:
+            return OUTCOME_SCHEMA.empty_table()
+        return pa.concat_tables(out)

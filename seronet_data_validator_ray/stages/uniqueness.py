@@ -1,0 +1,63 @@
+"""Global key-uniqueness check — THE shuffle of the north rule.
+
+≙ check_for_dup_ids (/root/reference/File_Submission_Object.py:345-354): report
+every ID that occurs more than once, with its multiplicity ("Id is repeated k
+times"), excluding missing IDs.
+
+Scale design (SURVEY.md §7.4):
+- the input dataset is **projected to (key, partition) at the parquet read**
+  — the wide ``tokens`` column never enters the shuffle (~100× traffic cut),
+- phase 1 pre-aggregates counts *inside* ``map_batches`` (combiner), so the
+  shuffle moves at most one row per distinct key per block,
+- phase 2 is a hash ``groupby(key).aggregate(Sum, Min)`` — Ray Data's
+  hash-partitioned aggregate; dup keys are rare so the result is tiny.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _local_counts(batch: pa.Table, key: str, partition_col: str | None) -> pa.Table:
+    valid = pc.is_valid(batch.column(key))
+    if pa.types.is_string(batch.column(key).type):
+        valid = pc.and_kleene(valid, pc.invert(pc.equal(batch.column(key), "")))
+    batch = batch.filter(pc.fill_null(valid, False))
+    aggs = [(key, "count")]
+    if partition_col and partition_col in batch.column_names:
+        aggs.append((partition_col, "min"))
+    g = batch.group_by(key).aggregate(aggs)
+    names = {f"{key}_count": "cnt"}
+    if partition_col:
+        names[f"{partition_col}_min"] = "partition"
+    return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+
+def find_duplicate_keys(ds, key: str = "doc_id", partition_col: str | None = "partition"):
+    """→ small ``pa.Table`` (key, multiplicity:int64, partition) of keys seen >1×."""
+    from ray.data.aggregate import Min, Sum
+
+    local = ds.map_batches(
+        lambda b: _local_counts(b, key, partition_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    aggs = [Sum("cnt", alias_name="multiplicity")]
+    if partition_col:
+        aggs.append(Min("partition", alias_name="partition"))
+    merged = local.groupby(key).aggregate(*aggs)
+    dups = merged.map_batches(
+        lambda b: b.filter(pc.greater(b["multiplicity"], 1)),
+        batch_format="pyarrow",
+    )
+    tables = [ref for ref in dups.to_arrow_refs()]
+    import ray
+
+    mats = [t for t in ray.get(tables) if t is not None and len(t)]
+    if not mats:
+        empty = {key: pa.array([], type=pa.string()), "multiplicity": pa.array([], type=pa.int64())}
+        if partition_col:
+            empty["partition"] = pa.array([], type=pa.string())
+        return pa.table(empty)
+    return pa.concat_tables([t.select([c for c in t.column_names]) for t in mats])

@@ -1,0 +1,128 @@
+"""End-to-end golden-count tests over the planted bad fixture
+(mirrors /root/reference/test_bad_submission.py's exact per-column error
+counts — see FIXTURES.md §3)."""
+
+import pyarrow.compute as pc
+import pytest
+
+from seronet_data_validator_ray.datagen import (
+    EXPECTED_BAD_COUNTS,
+    SEQUENCES_SCHEMA,
+    SOURCES,
+    BAD_SCHEMA_FILE_ROWS,
+)
+from seronet_data_validator_ray.pipelines.validate import validate
+from seronet_data_validator_ray.rules.builtin import sequences_rules
+from seronet_data_validator_ray.stages.stats import sequences_stats_spec
+from seronet_data_validator_ray.datagen import MAX_LEN, VOCAB
+
+
+def run(input_dir, reference_hists=None, **kw):
+    return validate(
+        input_dir,
+        sequences_rules(),
+        expected_schema=SEQUENCES_SCHEMA,
+        broadcast={"allowed_sources": SOURCES},
+        reference_histograms=reference_hists,
+        stats_spec=sequences_stats_spec(VOCAB, MAX_LEN),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def bad_result(bad_dir, reference_hists):
+    return run(bad_dir, reference_hists)
+
+
+@pytest.fixture(scope="module")
+def clean_result(clean_dir, reference_hists):
+    return run(clean_dir, reference_hists)
+
+
+def error_counts(result):
+    v = result.violations
+    errs = v.filter(pc.equal(v["severity"], "Error"))
+    out = {}
+    g = errs.group_by("rule_id").aggregate([("rule_id", "count")])
+    for rid, cnt in zip(g["rule_id"].to_pylist(), g["rule_id_count"].to_pylist()):
+        out[rid] = cnt
+    return out
+
+
+def test_bad_golden_error_counts(bad_result):
+    assert error_counts(bad_result) == EXPECTED_BAD_COUNTS
+
+
+def test_bad_not_validated(bad_result):
+    v = bad_result.violations
+    nv = v.filter(pc.equal(v["severity"], "Not Validated"))
+    by_rule = {}
+    g = nv.group_by("rule_id").aggregate([("rule_id", "count")])
+    for rid, cnt in zip(g["rule_id"].to_pylist(), g["rule_id_count"].to_pylist()):
+        by_rule[rid] = cnt
+    # all rows of the schema-gated file + the 4 rows whose n_tok.range dependency failed
+    assert by_rule["tokens.not_validated"] == BAD_SCHEMA_FILE_ROWS
+    assert by_rule["n_tok.eq_len"] == 4
+
+
+def test_bad_drift_detected(bad_result):
+    v = bad_result.violations
+    drift = v.filter(pc.equal(v["rule_id"], "drift.source"))
+    parts = set(drift["partition"].to_pylist())
+    assert "__source__:forums" in parts
+    # the unknown planted source has no reference histogram → warning
+    assert "__source__:sp4m" in parts
+    assert "__source__:web" not in parts
+
+
+def test_bad_verdicts_fail_only_planted_partitions(bad_result):
+    v, verd = bad_result.violations, bad_result.verdicts
+    errs = v.filter(pc.equal(v["severity"], "Error"))
+    expect_fail = {p for p in errs["partition"].to_pylist() if not p.startswith("__source__")}
+    got_fail = {
+        p for p, ok in zip(verd["partition"].to_pylist(), verd["pass"].to_pylist()) if not ok
+    }
+    assert got_fail == expect_fail
+    assert 0 < len(got_fail) < len(verd)
+
+
+def test_clean_zero_violations_all_pass(clean_result):
+    assert len(clean_result.violations) == 0
+    assert all(clean_result.verdicts["pass"].to_pylist())
+    assert len(clean_result.drift_reports) == len(SOURCES)
+
+
+def test_stats_summary(clean_result):
+    s = clean_result.stats
+    assert s["n_rows"] == 10_000
+    # HLL estimate of distinct doc_ids within 5%
+    assert abs(s["approx_distinct_ids"] - 10_000) / 10_000 < 0.05
+    nt = s["numeric"]["n_tok"]
+    assert 1 <= nt["min"] <= nt["p50"] <= nt["p95"] <= nt["max"] <= MAX_LEN
+    assert 300 < nt["p50"] < 700
+    assert s["list_min"] >= 0 and s["list_max"] < VOCAB
+    assert s["null_rate"]["doc_id"] == 0.0
+
+
+def test_token_array_round_trip(clean_dir):
+    """Per-row token-array equality: validation must not mutate the input
+    (BASELINE.json input_hint invariant)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    plan = plan_read(clean_dir, SEQUENCES_SCHEMA)
+    items = plan.work_items()
+    ds = read_with_provenance(items, columns=["doc_id", "tokens"])
+    got = {}
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["tokens"].to_pylist()):
+            got[d] = t
+    want = {}
+    for path in sorted(glob.glob(f"{clean_dir}/part-*.parquet")):
+        t = pq.read_table(path, columns=["doc_id", "tokens"])
+        for d, tok in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+            want[d] = tok
+    assert got == want

@@ -186,6 +186,9 @@ def validate(
 
     ctx = dict(broadcast or {})
     ctx_ref = ray.put(ctx)
+    viol_dir = os.path.join(output_dir, "violations", rules_hash) if output_dir else None
+    if viol_dir:
+        os.makedirs(viol_dir, exist_ok=True)
     viol_tables: list[pa.Table] = []
     partials: dict[str, PartialStats] = {}
     entries: dict[str, dict] = {}
@@ -207,8 +210,7 @@ def validate(
             "rule_breakdown": {"schema.conformance": 1, not_validated_rule_id: meta.num_rows},
         }
         if manifest:
-            out = os.path.join(output_dir, "violations", f"gate-{meta.partition}.parquet")
-            os.makedirs(os.path.dirname(out), exist_ok=True)
+            out = os.path.join(viol_dir, f"gate-{meta.partition}.parquet")
             pq.write_table(gate_tbl, out + ".tmp")
             os.replace(out + ".tmp", out)
             manifest.mark(meta.partition, entries[meta.partition])
@@ -309,9 +311,8 @@ def validate(
 
         if manifest:
             out = os.path.join(
-                output_dir, "violations", f"wave-{fileset_hash([m.partition for m in wave])}.parquet"
+                viol_dir, f"wave-{fileset_hash([m.partition for m in wave])}.parquet"
             )
-            os.makedirs(os.path.dirname(out), exist_ok=True)
             pq.write_table(wave_viol, out + ".tmp")
             os.replace(out + ".tmp", out)
             for meta in wave:
@@ -340,9 +341,7 @@ def validate(
         spec = unique_specs[0]
         fs_hash = fileset_hash([f.partition for f in plan.good_files]) + ":" + rules_hash
         dup_tbl = None
-        gpath = (
-            os.path.join(output_dir, "violations", "global-dups.parquet") if output_dir else None
-        )
+        gpath = os.path.join(viol_dir, "global-dups.parquet") if output_dir else None
         if manifest:
             ge = manifest.global_entry("unique")
             if ge and ge.get("fileset_hash") == fs_hash and gpath and os.path.exists(gpath):
@@ -406,12 +405,12 @@ def validate(
         )
         viol_tables.append(drift_viol.cast(VIOLATION_SCHEMA))
         if manifest and len(drift_viol):
-            out = os.path.join(output_dir, "violations", "global-drift.parquet")
+            out = os.path.join(viol_dir, "global-drift.parquet")
             pq.write_table(drift_viol.cast(VIOLATION_SCHEMA), out + ".tmp")
             os.replace(out + ".tmp", out)
 
     if manifest and len(dup_tbl_rows):
-        out = os.path.join(output_dir, "violations", "global-dup-violations.parquet")
+        out = os.path.join(viol_dir, "global-dup-violations.parquet")
         pq.write_table(dup_tbl_rows, out + ".tmp")
         os.replace(out + ".tmp", out)
 
@@ -455,11 +454,25 @@ def validate(
         pq.write_table(verdicts, vout + ".tmp")
         os.replace(vout + ".tmp", vout)
 
-    violations = (
-        pa.concat_tables(viol_tables).cast(VIOLATION_SCHEMA)
-        if viol_tables
-        else VIOLATION_SCHEMA.empty_table()
-    )
+    if viol_dir:
+        import glob as _glob
+
+        vfiles = sorted(
+            f
+            for f in _glob.glob(os.path.join(viol_dir, "*.parquet"))
+            if not f.endswith("global-dups.parquet")  # raw dup keys, not violation rows
+        )
+        tabs = [pq.read_table(f) for f in vfiles]
+        tabs = [t.cast(VIOLATION_SCHEMA) for t in tabs if len(t)]
+        violations = (
+            pa.concat_tables(tabs) if tabs else VIOLATION_SCHEMA.empty_table()
+        )
+    else:
+        violations = (
+            pa.concat_tables(viol_tables).cast(VIOLATION_SCHEMA)
+            if viol_tables
+            else VIOLATION_SCHEMA.empty_table()
+        )
     wall = time.perf_counter() - t0
     metrics = {
         "n_files": len(plan.files),

@@ -1,0 +1,73 @@
+"""Checkpoint/resume semantics (FIXTURES.md §5): abort after k waves, re-run,
+assert no re-done work and outputs identical to an uninterrupted run
+(≙ the reference's summary-workbook skip logic,
+/root/reference/Data_Validation_v2.py:170-192)."""
+
+import glob
+
+import pytest
+
+from seronet_data_validator_ray.datagen import MAX_LEN, SEQUENCES_SCHEMA, SOURCES, VOCAB
+from seronet_data_validator_ray.pipelines.validate import AbortRun, validate
+from seronet_data_validator_ray.rules.builtin import sequences_rules
+from seronet_data_validator_ray.stages.stats import sequences_stats_spec
+
+
+def run(input_dir, hists, **kw):
+    return validate(
+        input_dir,
+        sequences_rules(),
+        expected_schema=SEQUENCES_SCHEMA,
+        broadcast={"allowed_sources": SOURCES},
+        reference_histograms=hists,
+        stats_spec=sequences_stats_spec(VOCAB, MAX_LEN),
+        **kw,
+    )
+
+
+def canon(tbl):
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_abort_resume_identical(bad_dir, reference_hists, tmp_path):
+    out_a = str(tmp_path / "aborted")
+    out_b = str(tmp_path / "straight")
+
+    n_files = len(glob.glob(f"{bad_dir}/part-*.parquet"))
+    assert n_files > 4
+
+    with pytest.raises(AbortRun):
+        run(bad_dir, reference_hists, output_dir=out_a, wave_size=2, abort_after_waves=2)
+
+    from seronet_data_validator_ray.state.manifest import Manifest
+
+    done_after_abort = {
+        p for p in Manifest(out_a).completed() if not p.startswith("__global__")
+    }
+    assert len(done_after_abort) == 5  # 2 waves × 2 good files + the schema-gated file
+
+    # resume: only remaining partitions are re-validated
+    r2 = run(bad_dir, reference_hists, output_dir=out_a, wave_size=2)
+    rows_total = r2.metrics["total_rows"]
+    assert r2.metrics["rows_validated_this_run"] < rows_total
+    done = {p for p in Manifest(out_a).completed() if not p.startswith("__global__")}
+    assert len(done) == n_files
+
+    # uninterrupted run for comparison
+    r3 = run(bad_dir, reference_hists, output_dir=out_b)
+
+    assert canon(r2.violations).equals(canon(r3.violations))
+    assert canon(r2.verdicts).equals(canon(r3.verdicts))
+    assert r2.stats["n_rows"] == r3.stats["n_rows"]
+
+
+def test_rerun_is_noop(bad_dir, reference_hists, tmp_path):
+    out = str(tmp_path / "noop")
+    r1 = run(bad_dir, reference_hists, output_dir=out)
+    r2 = run(bad_dir, reference_hists, output_dir=out)
+    assert r2.metrics["rows_validated_this_run"] == 0
+    assert canon(r1.violations).equals(canon(r2.violations))
+    assert canon(r1.verdicts).equals(canon(r2.verdicts))

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline on /root/testdata/sf0.001: the full
+  sequences validation engine (schema gate → fused row rules + stats →
+  uniqueness shuffle → drift actors) over a deterministic synthesized
+  sequences table scaled to sf0.001, returning the violations table.
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  (SURVEY.md §2), each with a DuckDB-equivalent SQL oracle where the
+  semantics are SQL-expressible; approximate/stateful ops are rows-only.
 """
 
 from __future__ import annotations
@@ -19,26 +18,74 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _registries():
+    from seronet_data_validator_ray.pipelines import seq_queries, table_queries
+
+    extra = {}
+    try:
+        from seronet_data_validator_ray.functions import op_queries
+
+        extra = op_queries.REGISTRY
+    except ImportError:
+        pass
+    return table_queries.REGISTRY, seq_queries.REGISTRY, extra
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pandas as pd
+
+    from seronet_data_validator_ray.datagen import (
+        MAX_LEN,
+        SEQUENCES_SCHEMA,
+        SOURCES,
+        VOCAB,
+        compute_reference_histograms,
+        generate_sequences,
+    )
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq, seq_dir_for
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+    from seronet_data_validator_ray.stages.stats import sequences_stats_spec
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad_dir = ensure_seq(sf_dir)
+    clean_dir = seq_dir_for(sf_dir).replace("-bad", "-clean")
+    generate_sequences(clean_dir, n_rows=10_000, seed=42, bad=False)
+    hists = compute_reference_histograms(clean_dir)
+    res = validate(
+        bad_dir,
+        sequences_rules(),
+        expected_schema=SEQUENCES_SCHEMA,
+        broadcast={"allowed_sources": SOURCES},
+        reference_histograms=hists,
+        stats_spec=sequences_stats_spec(VOCAB, MAX_LEN),
+    )
+    df: pd.DataFrame = res.violations.to_pandas()
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    table_reg, seq_reg, extra_reg = _registries()
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _sql) in {**table_reg, **seq_reg, **extra_reg}.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq, format_sql
+
+    table_reg, seq_reg, extra_reg = _registries()
+    out: dict[str, str] = {}
+    for name, (_fn, sql) in {**table_reg, **extra_reg}.items():
+        if sql is not None:
+            out[name] = sql
+    # seq oracles read the synthesized parquet directly; generate it for the
+    # driver's correctness sf now so the oracle runs regardless of order
+    sf_dir = "/root/testdata/sf0.01"
+    ensure_seq(sf_dir)
+    for name in seq_reg:
+        sql = format_sql(name, sf_dir)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -1,0 +1,352 @@
+"""Oracle-paired queries over the north-rule `sequences` table.
+
+The driver's test data has no pre-tokenized sequences table, so these queries
+deterministically synthesize one (seed=42, FIXTURES.md schema, planted
+violations) under /tmp, scaled to the requested sf dir, and the oracle SQL
+reads the SAME parquet via DuckDB ``read_parquet`` — full value-level parity
+for the flagship validation semantics (row rules incl. dependency gating,
+duplicate IDs, per-source verdicts/stats/histograms).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from seronet_data_validator_ray.datagen import (
+    MAX_LEN,
+    SEQUENCES_SCHEMA,
+    SOURCES,
+    VOCAB,
+    generate_sequences,
+)
+
+SEQ_BASE = "/tmp/graft_seq"
+REGISTRY: dict[str, tuple] = {}  # name -> (fn(sf_dir) -> table, sql | None)
+
+_VALIDATE_CACHE: dict[str, object] = {}
+
+
+def query(name: str, sql_template: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql_template)
+        return fn
+
+    return deco
+
+
+def seq_rows_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else 0.001
+    return max(10_000, int(2_000_000 * sf))
+
+
+def seq_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    return os.path.join(SEQ_BASE, f"{tag}-bad")
+
+
+def ensure_seq(sf_dir: str) -> str:
+    d = seq_dir_for(sf_dir)
+    generate_sequences(d, n_rows=seq_rows_for(sf_dir), seed=42, bad=True)
+    return d
+
+
+_CTE = """
+WITH seq AS (
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source
+  FROM read_parquet('{d}/part-*.parquet', union_by_name=true, filename=true)
+  WHERE filename NOT LIKE '%badschema%'
+)
+"""
+
+
+def _validated(sf_dir: str):
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+
+    d = ensure_seq(sf_dir)
+    if d not in _VALIDATE_CACHE:
+        _VALIDATE_CACHE[d] = validate(
+            d,
+            sequences_rules(),
+            expected_schema=SEQUENCES_SCHEMA,
+            broadcast={"allowed_sources": SOURCES},
+        )
+    return _VALIDATE_CACHE[d]
+
+
+# ----------------------------------------------------------------- violations
+
+_ROW_RULES = [
+    "doc_id.not_null",
+    "doc_id.format",
+    "source.not_null",
+    "source.referential",
+    "tokens.range",
+    "n_tok.range",
+    "n_tok.eq_len",
+]
+
+_SEQ_VIOLATIONS_SQL = (
+    _CTE
+    + f"""
+SELECT 'doc_id.not_null' AS rule_id, doc_id, 'doc_id' AS column_name,
+       doc_id AS observed, 'Error' AS severity
+FROM seq WHERE doc_id IS NULL OR doc_id = ''
+UNION ALL
+SELECT 'doc_id.format', doc_id, 'doc_id', doc_id, 'Error' FROM seq
+WHERE doc_id IS NOT NULL AND doc_id <> ''
+  AND (NOT regexp_matches(doc_id, '^[a-z0-9]+_[0-9]+$')
+       OR string_split(doc_id, '_')[1] <> source)
+UNION ALL
+SELECT 'source.not_null', doc_id, 'source', source, 'Error'
+FROM seq WHERE source IS NULL OR source = ''
+UNION ALL
+SELECT 'source.referential', doc_id, 'source', source, 'Error' FROM seq
+WHERE source IS NOT NULL AND source <> ''
+  AND source NOT IN ({','.join("'" + s + "'" for s in SOURCES)})
+UNION ALL
+SELECT 'tokens.range', doc_id, 'tokens',
+       CAST(list_filter(tokens, x -> x < 0 OR x >= {VOCAB})[1] AS VARCHAR), 'Error'
+FROM seq WHERE len(list_filter(tokens, x -> x < 0 OR x >= {VOCAB})) > 0
+UNION ALL
+SELECT 'n_tok.range', doc_id, 'n_tok', CAST(n_tok AS VARCHAR), 'Error'
+FROM seq WHERE n_tok < 1 OR n_tok > {MAX_LEN}
+UNION ALL
+SELECT 'n_tok.eq_len', doc_id, 'n_tok',
+       CAST(n_tok AS VARCHAR) || '!=' || CAST(len(tokens) AS VARCHAR), 'Error'
+FROM seq WHERE n_tok BETWEEN 1 AND {MAX_LEN} AND n_tok <> len(tokens)
+UNION ALL
+SELECT 'n_tok.eq_len', doc_id, 'n_tok', CAST(n_tok AS VARCHAR), 'Not Validated'
+FROM seq WHERE n_tok < 1 OR n_tok > {MAX_LEN}
+"""
+)
+
+
+@query("seq_violations", _SEQ_VIOLATIONS_SQL)
+def seq_violations(sf_dir: str) -> pa.Table:
+    res = _validated(sf_dir)
+    v = res.violations
+    v = v.filter(pc.is_in(v["rule_id"], pa.array(_ROW_RULES)))
+    return v.select(["rule_id", "doc_id", "column", "observed", "severity"]).rename_columns(
+        ["rule_id", "doc_id", "column_name", "observed", "severity"]
+    )
+
+
+# ----------------------------------------------------------------- duplicate ids
+
+@query(
+    "seq_dup_ids",
+    _CTE
+    + """
+SELECT doc_id, count(*) AS multiplicity FROM seq
+WHERE doc_id IS NOT NULL AND doc_id <> ''
+GROUP BY doc_id HAVING count(*) > 1
+""",
+)
+def seq_dup_ids(sf_dir: str) -> pa.Table:
+    res = _validated(sf_dir)
+    v = res.violations
+    dups = v.filter(pc.equal(v["rule_id"], "doc_id.unique"))
+    return pa.table(
+        {
+            "doc_id": dups["doc_id"],
+            "multiplicity": pc.cast(dups["observed"], pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- per-source verdicts
+
+_BAD_ROW_SQL = f"""(
+  (doc_id IS NULL OR doc_id = '')
+  OR (doc_id IS NOT NULL AND doc_id <> ''
+      AND (NOT regexp_matches(doc_id, '^[a-z0-9]+_[0-9]+$')
+           OR string_split(doc_id, '_')[1] <> source))
+  OR (source IS NULL OR source = '')
+  OR (source IS NOT NULL AND source <> ''
+      AND source NOT IN ({','.join("'" + s + "'" for s in SOURCES)}))
+  OR (len(list_filter(tokens, x -> x < 0 OR x >= {VOCAB})) > 0)
+  OR (n_tok < 1 OR n_tok > {MAX_LEN})
+  OR (n_tok BETWEEN 1 AND {MAX_LEN} AND n_tok <> len(tokens))
+)"""
+
+
+@query(
+    "seq_verdict_by_source",
+    _CTE
+    + f"""
+SELECT source, count(*) AS n_rows,
+       SUM(CASE WHEN {_BAD_ROW_SQL} THEN 1 ELSE 0 END) AS n_bad_rows
+FROM seq GROUP BY source
+""",
+)
+def seq_verdict_by_source(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+    from seronet_data_validator_ray.rules.kernels import evaluate_kernel
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    ctx = {"allowed_sources": SOURCES}
+    rules = [r for r in sequences_rules().row_local()]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bad = np.zeros(len(batch), dtype=bool)
+        for spec in rules:
+            mask, _ = evaluate_kernel(batch, spec.kind, spec.column, spec.params, ctx)
+            if spec.dependency is not None:
+                dk, dc, dp = spec.dependency
+                dep_fail, _ = evaluate_kernel(batch, dk, dc, dp, ctx)
+                mask = mask & ~dep_fail
+            bad |= mask
+        return pa.table(
+            {
+                "source": batch["source"],
+                "bad": pa.array(bad.astype(np.int64)),
+            }
+        )
+
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "tokens", "n_tok", "source"])
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_rows"), Sum("bad", alias_name="n_bad_rows"))
+    )
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t is not None and len(t)]
+    return pa.concat_tables(tabs).select(["source", "n_rows", "n_bad_rows"])
+
+
+# ----------------------------------------------------------------- per-source stats
+
+@query(
+    "seq_stats_by_source",
+    _CTE
+    + """
+SELECT source, count(*) AS n_rows, SUM(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+       count(DISTINCT doc_id) AS n_ids
+FROM seq GROUP BY source
+""",
+)
+def seq_stats_by_source(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "n_tok", "source"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    main = ds.groupby("source").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("n_tok", alias_name="sum_n_tok"),
+        Min("n_tok", alias_name="min_n_tok"),
+        Max("n_tok", alias_name="max_n_tok"),
+    )
+    # exact distinct per group: two-phase distinct-pairs → count (the exact
+    # analog of the HLL sketch the engine uses for the same stat at scale);
+    # SQL count(DISTINCT) ignores NULLs, so drop them before grouping
+    ids = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b["doc_id"])), batch_format="pyarrow"
+        )
+        .groupby(["source", "doc_id"])
+        .count()
+        .groupby("source")
+        .aggregate(Count(alias_name="n_ids"))
+    )
+    t1 = pa.concat_tables([t for t in ray.get(main.to_arrow_refs()) if len(t)])
+    t2 = pa.concat_tables([t for t in ray.get(ids.to_arrow_refs()) if len(t)])
+    return t1.join(t2, keys="source").select(
+        ["source", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok", "n_ids"]
+    )
+
+
+# ----------------------------------------------------------------- token histogram
+
+_NBINS = 64
+
+@query(
+    "seq_token_hist",
+    _CTE
+    + f"""
+SELECT source,
+       CAST(least(greatest(floor(x * {_NBINS}.0 / {VOCAB}.0), 0), {_NBINS - 1}) AS BIGINT) AS bin,
+       count(*) AS n
+FROM (SELECT source, unnest(tokens) AS x FROM seq)
+GROUP BY 1, 2
+""",
+)
+def seq_token_hist(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Sum
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens").combine_chunks()
+        lengths = np.asarray(
+            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        flat = np.asarray(pc.list_flatten(col).to_numpy(zero_copy_only=False), dtype=np.float64)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        uniq, gidx = np.unique(np.asarray(src, dtype=object), return_inverse=True)
+        bins = np.clip(np.floor(flat * _NBINS / VOCAB), 0, _NBINS - 1).astype(np.int64)
+        parent = np.repeat(gidx, lengths)
+        combo = np.bincount(parent * _NBINS + bins, minlength=len(uniq) * _NBINS).reshape(
+            len(uniq), _NBINS
+        )
+        rows_src, rows_bin, rows_n = [], [], []
+        for k, s in enumerate(uniq):
+            nz = np.nonzero(combo[k])[0]
+            rows_src += [str(s)] * len(nz)
+            rows_bin += nz.tolist()
+            rows_n += combo[k][nz].tolist()
+        return pa.table(
+            {
+                "source": pa.array(rows_src, type=pa.string()),
+                "bin": pa.array(rows_bin, type=pa.int64()),
+                "n": pa.array(rows_n, type=pa.int64()),
+            }
+        )
+
+    ds = (
+        read_with_provenance(plan.work_items(), columns=["tokens", "source"])
+        .map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
+    return pa.concat_tables(tabs).select(["source", "bin", "n"])
+
+
+def format_sql(name: str, sf_dir: str) -> str | None:
+    fn, sql = REGISTRY[name]
+    if sql is None:
+        return None
+    return sql.format(d=seq_dir_for(sf_dir))

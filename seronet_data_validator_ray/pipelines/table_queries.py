@@ -1,0 +1,429 @@
+"""Oracle-paired operator queries over the driver's test tables.
+
+Each entry registers BOTH the Ray Data implementation and the ANSI-SQL oracle
+(run by the driver via DuckDB on the same parquet), with matching column
+names. These exercise the operator inventory of SURVEY.md §2 on the generic
+TPC-H-ish tables: validation rules (M6/M7/M9/M15/M19), uniqueness (A1),
+anti-joins / reconciliation (J2/J3/J5/J6), broadcast joins (J1/J4),
+aggregations (A2-A5), sort/limit (O1/O2), and parsing (M2-family).
+
+All float *arithmetic* is done in exact integer cents/basis-points on both
+sides (``round(x*100)`` over identical doubles) so value hashes match; raw
+float columns pass through untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REGISTRY: dict[str, tuple] = {}  # name -> (fn(sf_dir) -> table, sql | None)
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _ds_table(ds) -> pa.Table:
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
+    if not tabs:
+        return ds.schema().base_schema.empty_table() if hasattr(ds.schema(), "base_schema") else pa.table({})
+    return pa.concat_tables(tabs)
+
+
+def _cents(col, factor: float = 100.0) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), factor)), pa.int64())
+
+
+# --------------------------------------------------------------- validation (documents)
+
+_DOC_ALLOWED_LANGS = ["en", "de", "fr"]
+_DOC_ALLOWED_SOURCES = [f"src{i}" for i in range(18)]  # excludes src18, src19
+_DOC_NCHARS = (50, 400)
+
+_DOCS_VIOLATIONS_SQL = f"""
+SELECT 'text.not_null' AS rule_id, CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS column_name,
+       text AS observed, 'Error' AS severity
+FROM documents WHERE text IS NULL OR text = ''
+UNION ALL
+SELECT 'lang.enum', CAST(doc_id AS VARCHAR), 'lang', lang, 'Error'
+FROM documents
+WHERE lang IS NOT NULL AND lang <> '' AND lang NOT IN ('en','de','fr')
+UNION ALL
+SELECT 'source.referential', CAST(doc_id AS VARCHAR), 'source', source, 'Error'
+FROM documents
+WHERE source IS NOT NULL AND source <> ''
+  AND source NOT IN ({','.join("'" + s + "'" for s in _DOC_ALLOWED_SOURCES)})
+UNION ALL
+SELECT 'n_chars.range', CAST(doc_id AS VARCHAR), 'n_chars', CAST(n_chars AS VARCHAR), 'Error'
+FROM documents WHERE n_chars < {_DOC_NCHARS[0]} OR n_chars > {_DOC_NCHARS[1]}
+UNION ALL
+SELECT 'n_chars.eq_len', CAST(doc_id AS VARCHAR), 'n_chars',
+       CAST(n_chars AS VARCHAR) || '!=' || CAST(length(text) AS VARCHAR), 'Error'
+FROM documents WHERE n_chars <> length(text)
+"""
+
+
+@query("docs_violations", _DOCS_VIOLATIONS_SQL)
+def docs_violations(sf_dir: str) -> pa.Table:
+    """The generic rule engine applied to the documents table (SURVEY.md §2.2)."""
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import documents_rules
+
+    res = validate(
+        sf_dir,
+        documents_rules(
+            allowed_langs=_DOC_ALLOWED_LANGS,
+            min_chars=_DOC_NCHARS[0],
+            max_chars=_DOC_NCHARS[1],
+        ),
+        broadcast={"allowed_doc_sources": _DOC_ALLOWED_SOURCES},
+        file_glob="documents.parquet",
+    )
+    v = res.violations
+    # row-local rules only (uniqueness reported separately; none planted here)
+    v = v.filter(pc.invert(pc.is_in(v["rule_id"], pa.array(["doc_id.unique"]))))
+    out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
+    return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
+
+
+# --------------------------------------------------------------- uniqueness (A1)
+
+@query(
+    "dup_lineitem_orderkeys",
+    """
+SELECT l_orderkey, count(*) AS multiplicity
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+""",
+)
+def dup_lineitem_orderkeys(sf_dir: str) -> pa.Table:
+    from seronet_data_validator_ray.stages.uniqueness import find_duplicate_keys
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    t = find_duplicate_keys(ds, key="l_orderkey", partition_col=None)
+    return t.select(["l_orderkey", "multiplicity"])
+
+
+# --------------------------------------------------------------- anti-join (J2/J6)
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    import ray
+
+    from seronet_data_validator_ray.functions.joins import SemiAntiFilter
+
+    custkeys = _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    keys_ref = ray.put(list(custkeys))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        SemiAntiFilter,
+        fn_constructor_kwargs={"keys_ref": keys_ref, "column": "c_custkey", "anti": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return _ds_table(ds)
+
+
+# --------------------------------------------------------------- reconciliation (J3/J5)
+
+@query(
+    "reconcile_part_lineitem",
+    """
+SELECT CAST(p_partkey AS VARCHAR) AS key_value, 'left_only' AS present_in
+FROM (SELECT DISTINCT p_partkey FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+UNION ALL
+SELECT CAST(l_partkey AS VARCHAR), 'right_only'
+FROM (SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+""",
+)
+def reconcile_part_lineitem(sf_dir: str) -> pa.Table:
+    from seronet_data_validator_ray.functions.joins import reconcile_keys
+
+    return reconcile_keys(
+        _read(sf_dir, "part", columns=["p_partkey"]),
+        _read(sf_dir, "lineitem", columns=["l_partkey"]),
+        "p_partkey",
+        "l_partkey",
+    )
+
+
+# --------------------------------------------------------------- broadcast join (J1)
+
+@query(
+    "orders_enriched",
+    """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+""",
+)
+def orders_enriched(sf_dir: str) -> pa.Table:
+    import ray
+
+    from seronet_data_validator_ray.functions.joins import BroadcastJoiner
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    right_ref = ray.put(cust)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={
+            "right_ref": right_ref,
+            "keys": "o_custkey",
+            "right_keys": "c_custkey",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return _ds_table(ds).select(
+        ["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"]
+    )
+
+
+# --------------------------------------------------------------- multi-join aggregate (J4-ish)
+
+@query(
+    "revenue_by_region",
+    """
+SELECT r_name, count(*) AS n, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def revenue_by_region(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from seronet_data_validator_ray.functions.joins import BroadcastJoiner
+
+    # dimension chain resolved driver-side into ONE small broadcast map:
+    # o_orderkey -> r_name (orders is the largest dim; at production scale this
+    # becomes a co-partitioned hash join — here it is the broadcast-small-side path)
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    dim = (
+        orders.join(cust, keys="o_custkey", right_keys="c_custkey")
+        .join(nation, keys="c_nationkey", right_keys="n_nationkey")
+        .join(region, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["o_orderkey", "r_name"])
+    )
+    right_ref = ray.put(dim)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            BroadcastJoiner,
+            fn_constructor_kwargs={
+                "right_ref": right_ref,
+                "keys": "l_orderkey",
+                "right_keys": "o_orderkey",
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n"), Sum("price_cents", alias_name="sum_price_cents"))
+    )
+    return _ds_table(ds).select(["r_name", "n", "sum_price_cents"])
+
+
+# --------------------------------------------------------------- aggregations (A2-A5)
+
+@query(
+    "stats_lineitem",
+    """
+SELECT count(*) AS n,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp
+FROM lineitem
+""",
+)
+def stats_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": _cents(batch["l_quantity"], 1.0),
+                "price_cents": _cents(batch["l_extendedprice"]),
+                "price": batch["l_extendedprice"],
+                "disc_bp": _cents(batch["l_discount"], 10000.0),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    row = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Min("price", alias_name="min_price"),
+        Max("price", alias_name="max_price"),
+        Sum("disc_bp", alias_name="sum_disc_bp"),
+    )
+    return pa.Table.from_pylist([row])
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": _cents(batch["l_quantity"], 1.0),
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+    )
+    return _ds_table(ds).select(
+        ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_cents"]
+    )
+
+
+@query(
+    "distinct_counts",
+    """
+SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_event_types,
+       (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+       (SELECT count(DISTINCT source) FROM documents) AS n_doc_sources,
+       (SELECT count(DISTINCT c_mktsegment) FROM customer) AS n_mktsegments
+""",
+)
+def distinct_counts(sf_dir: str) -> pa.Table:
+    row = {
+        "n_event_types": len(_read(sf_dir, "events", columns=["event_type"]).unique("event_type")),
+        "n_langs": len(_read(sf_dir, "documents", columns=["lang"]).unique("lang")),
+        "n_doc_sources": len(_read(sf_dir, "documents", columns=["source"]).unique("source")),
+        "n_mktsegments": len(
+            _read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+        ),
+    }
+    return pa.Table.from_pylist([row])
+
+
+# --------------------------------------------------------------- sort / limit (O1/O2)
+
+@query(
+    "top_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def top_orders(sf_dir: str) -> pa.Table:
+    ds = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return _ds_table(ds)
+
+
+# --------------------------------------------------------------- windows / parsing
+
+@query(
+    "events_hourly",
+    """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, count(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly(sf_dir: str) -> pa.Table:
+    from seronet_data_validator_ray.functions.windows import tumbling_window
+
+    return tumbling_window(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
+        ts_col="ts",
+        unit="hour",
+        group_cols=["event_type"],
+        value_col="value",
+    )
+
+
+@query(
+    "events_json_k",
+    """
+SELECT event_type, count(*) AS n,
+       SUM(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+""",
+)
+def events_json_k(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+    return _ds_table(ds).select(["event_type", "n", "sum_k"])

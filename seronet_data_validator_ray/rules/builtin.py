@@ -71,6 +71,7 @@ def sequences_rules(
 def documents_rules(
     allowed_langs=("en", "de", "fr", "es", "zh"),
     allowed_sources_ref: str = "allowed_doc_sources",
+    min_chars: int = 1,
     max_chars: int = 100_000,
 ) -> RuleSet:
     return RuleSet(
@@ -90,8 +91,8 @@ def documents_rules(
             ),
             RuleSpec(
                 "n_chars.range", "n_chars", "range",
-                {"lo": 1, "hi": max_chars},
-                message=f"n_chars outside [1, {max_chars}]",
+                {"lo": min_chars, "hi": max_chars},
+                message=f"n_chars outside [{min_chars}, {max_chars}]",
             ),
             RuleSpec(
                 "n_chars.eq_len", "n_chars", "eq_len_of",

@@ -51,11 +51,13 @@ def tumbling_window(
         .groupby(["hour_us"] + group_cols)
         .aggregate(*aggs)
     )
-    tabs = [t for t in ray.get(out.to_arrow_refs()) if t is not None and len(t)]
+    from seronet_data_validator_ray.util import ds_to_table
+
     names = ["hour_us"] + group_cols + ["n"] + (["sum_value_cents"] if value_col else [])
-    if not tabs:
+    tbl = ds_to_table(out)
+    if len(tbl) == 0:
         return pa.table({n: [] for n in names})
-    return pa.concat_tables(tabs).select(names)
+    return tbl.select(names)
 
 
 def sessionize(
@@ -89,8 +91,9 @@ def sessionize(
             }
         )
 
+    from seronet_data_validator_ray.util import ds_to_table
+
     out = ds.groupby(user_col).map_groups(per_group, batch_format="pandas")
-    tabs = [t for t in ray.get(out.to_arrow_refs()) if t is not None and len(t)]
     schema = pa.schema(
         [
             ("user_id", pa.int64()),
@@ -99,6 +102,4 @@ def sessionize(
             ("max_session_events", pa.int64()),
         ]
     )
-    if not tabs:
-        return schema.empty_table()
-    return pa.concat_tables([t.cast(schema) for t in tabs])
+    return ds_to_table(out, schema)

@@ -215,14 +215,17 @@ def seq_verdict_by_source(sf_dir: str) -> pa.Table:
         )
 
     plan = plan_read(d, SEQUENCES_SCHEMA)
-    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "tokens", "n_tok", "source"])
+    ds = read_with_provenance(
+        plan.work_items(), columns=["doc_id", "tokens", "n_tok", "source"], yield_rows=8192
+    )
     out = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("source")
         .aggregate(Count(alias_name="n_rows"), Sum("bad", alias_name="n_bad_rows"))
     )
-    tabs = [t for t in ray.get(out.to_arrow_refs()) if t is not None and len(t)]
-    return pa.concat_tables(tabs).select(["source", "n_rows", "n_bad_rows"])
+    from seronet_data_validator_ray.util import ds_to_table
+
+    return ds_to_table(out).select(["source", "n_rows", "n_bad_rows"])
 
 
 # ----------------------------------------------------------------- per-source stats
@@ -255,9 +258,9 @@ def seq_stats_by_source(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "n_tok", "source"]).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ds = read_with_provenance(
+        plan.work_items(), columns=["doc_id", "n_tok", "source"], yield_rows=65536
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     main = ds.groupby("source").aggregate(
         Count(alias_name="n_rows"),
         Sum("n_tok", alias_name="sum_n_tok"),
@@ -276,8 +279,10 @@ def seq_stats_by_source(sf_dir: str) -> pa.Table:
         .groupby("source")
         .aggregate(Count(alias_name="n_ids"))
     )
-    t1 = pa.concat_tables([t for t in ray.get(main.to_arrow_refs()) if len(t)])
-    t2 = pa.concat_tables([t for t in ray.get(ids.to_arrow_refs()) if len(t)])
+    from seronet_data_validator_ray.util import ds_to_table
+
+    t1 = ds_to_table(main)
+    t2 = ds_to_table(ids)
     return t1.join(t2, keys="source").select(
         ["source", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok", "n_ids"]
     )
@@ -336,13 +341,14 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
         )
 
     ds = (
-        read_with_provenance(plan.work_items(), columns=["tokens", "source"])
-        .map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True)
+        read_with_provenance(plan.work_items(), columns=["tokens", "source"], yield_rows=8192)
+        .map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(["source", "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
-    return pa.concat_tables(tabs).select(["source", "bin", "n"])
+    from seronet_data_validator_ray.util import ds_to_table
+
+    return ds_to_table(ds).select(["source", "bin", "n"])
 
 
 def format_sql(name: str, sf_dir: str) -> str | None:

@@ -38,12 +38,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _ds_table(ds) -> pa.Table:
-    import ray
+    from seronet_data_validator_ray.util import ds_to_table
 
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
-    if not tabs:
-        return ds.schema().base_schema.empty_table() if hasattr(ds.schema(), "base_schema") else pa.table({})
-    return pa.concat_tables(tabs)
+    return ds_to_table(ds)
 
 
 def _cents(col, factor: float = 100.0) -> pa.Array:

@@ -82,13 +82,11 @@ class ValidationResult:
         return out
 
 
-def _ds_to_table(ds, schema: pa.Schema) -> pa.Table:
-    import ray
+from seronet_data_validator_ray.util import ds_to_table as _ds_to_table_util
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t is not None and len(t)]
-    if not tables:
-        return schema.empty_table()
-    return pa.concat_tables([t.select(schema.names) for t in tables]).cast(schema)
+
+def _ds_to_table(ds, schema: pa.Schema) -> pa.Table:
+    return _ds_to_table_util(ds, schema)
 
 
 def _violation_row(rule_id, partition, row_index, doc_id, column, observed, severity, message):
@@ -158,7 +156,7 @@ def validate(
     stats_spec: StatsSpec | None = None,
     output_dir: str | None = None,
     resume: bool = True,
-    batch_size: int = 4096,
+    batch_size: int = 8192,
     eval_concurrency=None,
     target_rows_per_task: int = 128 * 1024,
     wave_size: int | None = None,
@@ -172,8 +170,16 @@ def validate(
     import ray
 
     t0 = time.perf_counter()
+    phases: dict[str, float] = {}
+
+    def _mark(name, since):
+        phases[name] = phases.get(name, 0.0) + (time.perf_counter() - since)
+        return time.perf_counter()
+
+    tp = time.perf_counter()
     rules_hash = rule_set_hash(ruleset.rules)
     plan = plan_read(input_path, expected_schema, file_glob=file_glob)
+    tp = _mark("plan", tp)
     manifest = Manifest(output_dir) if output_dir else None
 
     all_parts = [f.partition for f in plan.files]
@@ -217,9 +223,7 @@ def validate(
 
     # ---- waves of row-local validation (stage 1)
     columns = _needed_columns(ruleset, stats_spec)
-    if eval_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        eval_concurrency = (1, max(2, ncpu))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     waves: list[list[FileMeta]] = []
     wave_files = pending_good
     step = wave_size or max(1, len(wave_files))
@@ -230,7 +234,10 @@ def validate(
     for w_i, wave in enumerate(waves):
         sub_plan = ReadPlan(files=wave)
         items = sub_plan.work_items(target_rows_per_task)
-        ds = read_with_provenance(items, columns=columns)
+        ds = read_with_provenance(items, columns=columns, yield_rows=batch_size)
+        # fixed-size actor pool (autoscaling from 1 ramps too slowly for a
+        # finite wave); size to the smaller of CPUs and read tasks
+        conc = eval_concurrency or min(ncpu, max(2, len(items)))
         outcome = ds.map_batches(
             RuleEvaluator,
             fn_constructor_kwargs={
@@ -241,33 +248,24 @@ def validate(
             },
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=batch_size,
-            concurrency=eval_concurrency,
-        ).materialize()  # outcome is SMALL (violations + per-batch stats rows)
-
-        viol_ds = outcome.map_batches(
-            lambda b: b.filter(pc.equal(b["kind"], "violation")).select(VIOLATION_COLUMNS),
-            batch_format="pyarrow",
+            batch_size=None,  # consume the reader's yielded blocks as batches
+            concurrency=conc,
+            num_cpus=1,
         )
-        wave_viol = _ds_to_table(viol_ds, VIOLATION_SCHEMA)
+        # ONE execution; the outcome (violations + per-batch stats rows) is
+        # small, so split it driver-side instead of re-running filter stages
+        tp = time.perf_counter()
+        outcome_tbl = _ds_to_table(outcome, OUTCOME_SCHEMA)
+        tp = _mark("eval", tp)
+        wave_viol = outcome_tbl.filter(
+            pc.equal(outcome_tbl["kind"], "violation")
+        ).select(VIOLATION_COLUMNS).cast(VIOLATION_SCHEMA)
         viol_tables.append(wave_viol)
 
-        # merge stats partials per partition (small tree-reduce)
+        # merge stats partials per partition (small)
         if stats_spec is not None:
-            stats_tbl = _ds_to_table(
-                outcome.map_batches(
-                    lambda b: b.filter(pc.equal(b["kind"], "stats")).select(
-                        ["partition", "n_rows", "payload"]
-                    ),
-                    batch_format="pyarrow",
-                ),
-                pa.schema(
-                    [
-                        pa.field("partition", pa.string()),
-                        pa.field("n_rows", pa.int64()),
-                        pa.field("payload", pa.binary()),
-                    ]
-                ),
+            stats_tbl = outcome_tbl.filter(pc.equal(outcome_tbl["kind"], "stats")).select(
+                ["partition", "n_rows", "payload"]
             )
             for p, payload in zip(
                 stats_tbl["partition"].to_pylist(), stats_tbl["payload"].to_pylist()
@@ -340,16 +338,18 @@ def validate(
     if unique_specs and plan.good_files:
         spec = unique_specs[0]
         fs_hash = fileset_hash([f.partition for f in plan.good_files]) + ":" + rules_hash
-        dup_tbl = None
         gpath = os.path.join(viol_dir, "global-dups.parquet") if output_dir else None
+        dup_tbl = None
         if manifest:
             ge = manifest.global_entry("unique")
             if ge and ge.get("fileset_hash") == fs_hash and gpath and os.path.exists(gpath):
                 dup_tbl = pq.read_table(gpath)
         if dup_tbl is None:
-            items = plan.work_items(target_rows_per_task)
-            key_ds = read_with_provenance(items, columns=[spec.column])
+            tp = time.perf_counter()
+            u_items = plan.work_items(target_rows_per_task)
+            key_ds = read_with_provenance(u_items, columns=[spec.column], yield_rows=65536)
             dup_tbl = find_duplicate_keys(key_ds, key=spec.column, partition_col="partition")
+            tp = _mark("unique", tp)
             if gpath:
                 pq.write_table(dup_tbl, gpath + ".tmp")
                 os.replace(gpath + ".tmp", gpath)
@@ -395,7 +395,9 @@ def validate(
             batch_format="pyarrow",
             concurrency=(1, 2),
         )
+        tp = time.perf_counter()
         drift_out = _ds_to_table(drift_ds, OUTCOME_SCHEMA)
+        tp = _mark("drift", tp)
         dmask = pc.equal(drift_out["kind"], "drift_report")
         drift_reports = [
             json.loads(m) for m in drift_out.filter(dmask)["message"].to_pylist()
@@ -482,6 +484,7 @@ def validate(
         "wall_sec": wall,
         "rows_per_sec": (rows_validated / wall) if wall > 0 else 0.0,
         "rule_set_hash": rules_hash,
+        "phases": {k: round(v, 3) for k, v in phases.items()},
     }
     stats = global_stats.summary() if global_stats is not None else {}
     return ValidationResult(

@@ -22,18 +22,58 @@ import pyarrow as pa
 
 # --------------------------------------------------------------------------- hashing
 
-def hash64(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list", seed: int = 0) -> np.ndarray:
-    """Stable vectorized 64-bit hash of an Arrow/numpy array → uint64 ndarray."""
-    import polars as pl
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
 
-    if isinstance(arr, np.ndarray):
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * _SPLITMIX_C1
+    x = (x ^ (x >> np.uint64(27))) * _SPLITMIX_C2
+    return x ^ (x >> np.uint64(31))
+
+
+def hash64(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list", seed: int = 0) -> np.ndarray:
+    """Stable vectorized 64-bit hash → uint64 ndarray. Pure numpy (FNV-1a over
+    string bytes, iterated by character position; splitmix64 finalizer for
+    integers) — deterministic across processes/nodes, no heavy imports in
+    worker processes."""
+    if isinstance(arr, (list, np.ndarray)):
         arr = pa.array(arr)
-    elif isinstance(arr, list):
-        arr = pa.array(arr)
-    s = pl.from_arrow(arr)
-    if isinstance(s, pl.DataFrame):  # pragma: no cover - defensive
-        s = s.to_series()
-    return s.hash(seed=np.uint64(seed)).to_numpy().astype(np.uint64, copy=False)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    with np.errstate(over="ignore"):
+        if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+            vals = np.asarray(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+            h = _splitmix64(vals.view(np.uint64) ^ _splitmix64(np.uint64(seed) + np.uint64(1)))
+            return h
+        arr = arr.cast(pa.large_string()) if pa.types.is_string(arr.type) else arr
+        if not (pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)):
+            arr = arr.cast(pa.large_binary())
+        null_mask = np.zeros(len(arr), dtype=bool)
+        if arr.null_count:
+            null_mask = np.asarray(pa.compute.is_null(arr).to_numpy(zero_copy_only=False))
+            arr = pa.compute.fill_null(arr, "")
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+        offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+        data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+        starts = offsets[:-1].astype(np.int64)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        h = np.full(len(arr), _FNV_OFFSET ^ _splitmix64(np.array([seed], np.uint64))[0], dtype=np.uint64)
+        maxlen = int(lengths.max()) if len(lengths) else 0
+        for pos in range(maxlen):
+            m = lengths > pos
+            if not m.any():
+                break
+            ch = data[starts[m] + pos].astype(np.uint64)
+            h[m] = (h[m] ^ ch) * _FNV_PRIME
+        # mix in length so "a"+"" and "a" with trailing behavior differ robustly
+        h = _splitmix64(h ^ lengths.view(np.uint64))
+        h[null_mask] = _splitmix64(np.full(int(null_mask.sum()), np.uint64(seed), dtype=np.uint64))
+        return h
 
 
 # --------------------------------------------------------------------------- HyperLogLog
@@ -137,28 +177,33 @@ class TDigest:
     def _merge_centroids(self, means: np.ndarray, weights: np.ndarray):
         if len(means) == 0:
             return
+        import math
+
         am = np.concatenate([self.means, means])
         aw = np.concatenate([self.weights, weights])
         order = np.argsort(am, kind="stable")
-        am, aw = am[order], aw[order]
-        total = aw.sum()
-        # greedy merge pass honoring the k1 size bound
+        am, aw = am[order].tolist(), aw[order].tolist()
+        total = float(sum(aw))
+        kf = self.delta / (2.0 * math.pi)
+
+        def k1(q: float) -> float:  # scalar k1 — no array allocation per centroid
+            return kf * math.asin(2.0 * min(max(q, 0.0), 1.0) - 1.0)
+
         out_m: list[float] = []
         out_w: list[float] = []
         cum = 0.0
         cur_m, cur_w = am[0], aw[0]
-        k_lo = _k1(np.array([0.0]), self.delta)[0]
+        k_lo = k1(0.0)
         for i in range(1, len(am)):
             q_hi = (cum + cur_w + aw[i]) / total
-            k_hi = _k1(np.array([q_hi]), self.delta)[0]
-            if k_hi - k_lo <= 1.0:
+            if k1(q_hi) - k_lo <= 1.0:
                 cur_m = (cur_m * cur_w + am[i] * aw[i]) / (cur_w + aw[i])
                 cur_w += aw[i]
             else:
                 out_m.append(cur_m)
                 out_w.append(cur_w)
                 cum += cur_w
-                k_lo = _k1(np.array([cum / total]), self.delta)[0]
+                k_lo = k1(cum / total)
                 cur_m, cur_w = am[i], aw[i]
         out_m.append(cur_m)
         out_w.append(cur_w)

@@ -114,7 +114,7 @@ def plan_read(
             "schema_str": f.schema_arrow.serialize().to_pybytes(),
         }
 
-    if len(paths) <= 16:
+    if len(paths) <= 64:
         metas = [footer({"path": p}) for p in paths]  # driver-side below fan-out threshold
     else:
         metas = ray.data.from_items([{"path": p} for p in paths]).map(footer).take_all()
@@ -139,13 +139,21 @@ def plan_read(
 
 
 class _RowGroupReader:
-    """Reads one work item's row groups, appending provenance columns."""
+    """Reads one work item's row groups, yielding provenance-stamped slices.
 
-    def __init__(self, columns: list[str] | None):
+    A *generator* UDF: it yields blocks of ``yield_rows`` rows so a downstream
+    fused ``map_batches(batch_size=None)`` stage receives right-sized Arrow
+    batches directly. (Downstream stages must use ``batch_size=None`` — a
+    numeric batch_size would make Ray Data coalesce the tiny one-row work
+    items BEFORE the fused reader runs, collapsing the whole read into a
+    single task.)
+    """
+
+    def __init__(self, columns: list[str] | None, yield_rows: int | None = None):
         self.columns = columns
+        self.yield_rows = yield_rows
 
-    def __call__(self, items: pa.Table) -> pa.Table:
-        out = []
+    def __call__(self, items: pa.Table):
         for item in items.to_pylist():
             f = pq.ParquetFile(item["path"])
             tbl = f.read_row_groups(
@@ -161,21 +169,26 @@ class _RowGroupReader:
                     np.arange(item["row_offset"], item["row_offset"] + n, dtype=np.int64)
                 ),
             )
-            out.append(tbl)
-        return pa.concat_tables(out) if out else pa.table({})
+            step = self.yield_rows or n or 1
+            for off in range(0, n, step):
+                yield tbl.slice(off, step)
 
 
 def read_with_provenance(
     items: list[dict],
     columns: list[str] | None = None,
-    target_rows_per_task: int = 128 * 1024,
+    yield_rows: int | None = None,
 ):
-    """Work items → ``ray.data.Dataset`` of data blocks + (partition, row_index)."""
+    """Work items → ``ray.data.Dataset`` of data blocks + (partition, row_index).
+
+    One read task per work item; downstream ``map_batches`` stages should pass
+    ``batch_size=None`` to consume the reader's blocks as batches.
+    """
     import ray.data
 
     ds = ray.data.from_items(items)
     return ds.map_batches(
-        _RowGroupReader(columns),
-        batch_size=1,  # one read task per work item (item ≈ target_rows_per_task rows)
+        _RowGroupReader(columns, yield_rows),
+        batch_size=1,  # one read task per work item
         batch_format="pyarrow",
     )

@@ -165,13 +165,18 @@ class RuleEvaluator:
                 out.append(t)
 
         if self.stats_spec is not None:
-            parts_np = part.to_numpy(zero_copy_only=False)
+            parts_np = np.asarray(part.to_numpy(zero_copy_only=False), dtype=object)
+            uniq = np.unique(parts_np)
             stats_rows = {"partition": [], "n_rows": [], "payload": []}
-            for p in np.unique(np.asarray(parts_np, dtype=object)):
-                pmask = parts_np == p
-                sub = batch.filter(pa.array(pmask))
+            if len(uniq) == 1:
+                subs = [(str(uniq[0]), batch)]  # common case: no copy
+            else:
+                subs = [
+                    (str(p), batch.filter(pa.array(parts_np == p))) for p in uniq
+                ]
+            for p, sub in subs:
                 ps = PartialStats(self.stats_spec).update(sub)
-                stats_rows["partition"].append(str(p))
+                stats_rows["partition"].append(p)
                 stats_rows["n_rows"].append(len(sub))
                 stats_rows["payload"].append(ps.to_bytes())
             k = len(stats_rows["partition"])

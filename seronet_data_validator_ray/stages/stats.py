@@ -79,9 +79,10 @@ class PartialStats:
                 pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
                 dtype=np.int64,
             )
-            flat = np.asarray(
-                pc.list_flatten(col).to_numpy(zero_copy_only=False), dtype=np.float64
-            )
+            # int64 view of the flattened tokens — NO float conversion on the
+            # hot path (a 2M-element float64 copy per batch is the difference
+            # between 50ms and 5ms here)
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             if len(flat):
                 fmin, fmax = float(flat.min()), float(flat.max())
                 if self.list_minmax is None:
@@ -96,22 +97,28 @@ class PartialStats:
                 )
                 uniq, gidx = np.unique(groups, return_inverse=True)
                 lo, hi, nb = spec.list_hist
-                bins = np.clip(
-                    ((flat - lo) * nb / (hi - lo)).astype(np.int64), 0, nb - 1
-                )
+                # integer binning, fully vectorized: one bincount over a
+                # (group, bin) combined index — no per-group loop or filter
+                bins = np.clip((flat - int(lo)) * nb // int(hi - lo), 0, nb - 1)
                 parent_g = np.repeat(gidx, lengths)
                 combo = np.bincount(parent_g * nb + bins, minlength=len(uniq) * nb)
                 combo = combo.reshape(len(uniq), nb)
                 llo, lhi, lnb = spec.len_hist
+                ref_len_hist = Histogram.log_spaced(llo, lhi, lnb)
+                lbins = np.clip(
+                    np.searchsorted(ref_len_hist.edges, lengths, side="right") - 1, 0, lnb - 1
+                )
+                lcombo = np.bincount(gidx * lnb + lbins, minlength=len(uniq) * lnb)
+                lcombo = lcombo.reshape(len(uniq), lnb)
+                gcounts = np.bincount(gidx, minlength=len(uniq))
                 for k, g in enumerate(uniq):
                     if g not in self.group_list_hist:
                         self.group_list_hist[g] = Histogram.uniform(lo, hi, nb)
                         self.group_len_hist[g] = Histogram.log_spaced(llo, lhi, lnb)
                         self.group_counts[g] = 0
                     self.group_list_hist[g].counts += combo[k]
-                    gmask = gidx == k
-                    self.group_len_hist[g].add_array(lengths[gmask].astype(np.float64))
-                    self.group_counts[g] += int(gmask.sum())
+                    self.group_len_hist[g].counts += lcombo[k]
+                    self.group_counts[g] += int(gcounts[k])
         return self
 
     # ------------------------------------------------------------------ merge

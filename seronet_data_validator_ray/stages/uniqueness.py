@@ -8,9 +8,13 @@ Scale design (SURVEY.md §7.4):
 - the input dataset is **projected to (key, partition) at the parquet read**
   — the wide ``tokens`` column never enters the shuffle (~100× traffic cut),
 - phase 1 pre-aggregates counts *inside* ``map_batches`` (combiner), so the
-  shuffle moves at most one row per distinct key per block,
-- phase 2 is a hash ``groupby(key).aggregate(Sum, Min)`` — Ray Data's
-  hash-partitioned aggregate; dup keys are rare so the result is tiny.
+  merge moves at most one row per distinct key per block,
+- phase 2 is adaptive: below ``driver_merge_max_rows`` the (small) per-block
+  count tables are merged with one vectorized Arrow ``group_by`` on the
+  driver — Ray's all-to-all aggregate has a multi-second fixed cost that
+  dwarfs toy inputs; above it, a hash ``groupby(key).aggregate(Sum, Min)``
+  shuffle runs distributed (the only choice at 10^12 keys, where per-block
+  counts are nearly as large as the input keys).
 """
 
 from __future__ import annotations
@@ -34,30 +38,52 @@ def _local_counts(batch: pa.Table, key: str, partition_col: str | None) -> pa.Ta
     return g.rename_columns([names.get(c, c) for c in g.column_names])
 
 
-def find_duplicate_keys(ds, key: str = "doc_id", partition_col: str | None = "partition"):
+def _empty(key: str, partition_col: str | None) -> pa.Table:
+    empty = {key: pa.array([], type=pa.string()), "multiplicity": pa.array([], type=pa.int64())}
+    if partition_col:
+        empty["partition"] = pa.array([], type=pa.string())
+    return pa.table(empty)
+
+
+def find_duplicate_keys(
+    ds,
+    key: str = "doc_id",
+    partition_col: str | None = "partition",
+    driver_merge_max_rows: int = 5_000_000,
+):
     """→ small ``pa.Table`` (key, multiplicity:int64, partition) of keys seen >1×."""
-    from ray.data.aggregate import Min, Sum
+    from seronet_data_validator_ray.util import ds_to_table
 
     local = ds.map_batches(
         lambda b: _local_counts(b, key, partition_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    aggs = [Sum("cnt", alias_name="multiplicity")]
-    if partition_col:
-        aggs.append(Min("partition", alias_name="partition"))
-    merged = local.groupby(key).aggregate(*aggs)
-    dups = merged.map_batches(
-        lambda b: b.filter(pc.greater(b["multiplicity"], 1)),
-        batch_format="pyarrow",
-    )
-    tables = [ref for ref in dups.to_arrow_refs()]
-    import ray
+        batch_size=None,  # per-block combiner; a numeric batch_size would
+        # coalesce upstream work items before a fused provenance reader runs
+    ).materialize()
 
-    mats = [t for t in ray.get(tables) if t is not None and len(t)]
-    if not mats:
-        empty = {key: pa.array([], type=pa.string()), "multiplicity": pa.array([], type=pa.int64())}
+    if local.count() <= driver_merge_max_rows:
+        tbl = ds_to_table(local)
+        if len(tbl) == 0:
+            return _empty(key, partition_col)
+        aggs = [("cnt", "sum")] + ([("partition", "min")] if partition_col else [])
+        g = tbl.group_by(key).aggregate(aggs)
+        names = {"cnt_sum": "multiplicity", "partition_min": "partition"}
+        g = g.rename_columns([names.get(c, c) for c in g.column_names])
+        out = g.filter(pc.greater(g["multiplicity"], 1))
+    else:
+        from ray.data.aggregate import Min, Sum
+
+        aggs = [Sum("cnt", alias_name="multiplicity")]
         if partition_col:
-            empty["partition"] = pa.array([], type=pa.string())
-        return pa.table(empty)
-    return pa.concat_tables([t.select([c for c in t.column_names]) for t in mats])
+            aggs.append(Min("partition", alias_name="partition"))
+        merged = local.groupby(key).aggregate(*aggs)
+        dups = merged.map_batches(
+            lambda b: b.filter(pc.greater(b["multiplicity"], 1)),
+            batch_format="pyarrow",
+        )
+        out = ds_to_table(dups)
+    if len(out) == 0:
+        return _empty(key, partition_col)
+    cols = [key, "multiplicity"] + (["partition"] if partition_col else [])
+    return out.select(cols)

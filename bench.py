@@ -9,7 +9,11 @@ line: {"metric", "value", "unit", "queries", "sf", "num_cpus", ...}.
 --scaling: run the SAME headline job twice in FRESH processes at two
 parallelism levels (default 8 and 32 CPUs — the sandbox stand-in for N vs 4N
 node clusters via `ray job submit`) on identical input, and report throughput
-at both plus scaling efficiency T(4N)/(4·T(N)).
+at both plus scaling efficiency T(4N)/(4·T(N)). The scaling input is larger
+(default 8M rows, ~16 GB, cached under /tmp) so the parallel fraction
+dominates the serial coordination cost; an untimed warmup pipeline spawns the
+worker pool first so steady-state throughput is measured, not interpreter
+start-up.
 """
 
 from __future__ import annotations
@@ -20,6 +24,9 @@ import os
 import subprocess
 import sys
 import time
+
+SCALE_ROWS = int(os.environ.get("RAY_GRAFT_SCALE_ROWS", "8000000"))
+SCALE_DIR = f"/tmp/graft_seq/scale-{SCALE_ROWS}-bad"
 
 
 def _init_ray(num_cpus: int):
@@ -39,7 +46,40 @@ def _init_ray(num_cpus: int):
     ctx.execution_options.verbose_progress = False
 
 
-def _headline(sf_dir: str) -> dict:
+def _warmup(num_cpus: int):
+    """Untimed: spawn the worker pool and import the heavy modules everywhere."""
+    import ray.data
+
+    def touch(batch):
+        import numpy  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        import seronet_data_validator_ray.stages.evaluate  # noqa: F401
+
+        return batch
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        touch, batch_size=None
+    ).materialize()
+
+
+import ray  # noqa: E402  (used by _warmup after _init_ray)
+
+
+def _reference_hists():
+    """Drift baseline from the small clean fixture — the reference
+    distribution is scale-free (chi2/KS handle unequal totals)."""
+    from seronet_data_validator_ray.datagen import (
+        compute_reference_histograms,
+        generate_sequences,
+    )
+
+    clean = "/tmp/graft_seq/ref-clean-10k"
+    generate_sequences(clean, n_rows=10_000, seed=42, bad=False)
+    return compute_reference_histograms(clean)
+
+
+def _headline(input_dir: str) -> dict:
     """Full sequences validation: schema gate → fused rules + stats →
     uniqueness shuffle → drift actors."""
     from seronet_data_validator_ray.datagen import (
@@ -47,26 +87,15 @@ def _headline(sf_dir: str) -> dict:
         SEQUENCES_SCHEMA,
         SOURCES,
         VOCAB,
-        compute_reference_histograms,
-        generate_sequences,
-    )
-    from seronet_data_validator_ray.pipelines.seq_queries import (
-        ensure_seq,
-        seq_dir_for,
-        seq_rows_for,
     )
     from seronet_data_validator_ray.pipelines.validate import validate
     from seronet_data_validator_ray.rules.builtin import sequences_rules
     from seronet_data_validator_ray.stages.stats import sequences_stats_spec
 
-    bad_dir = ensure_seq(sf_dir)
-    clean_dir = seq_dir_for(sf_dir).replace("-bad", "-clean")
-    generate_sequences(clean_dir, n_rows=seq_rows_for(sf_dir), seed=42, bad=False)
-    hists = compute_reference_histograms(clean_dir)
-
+    hists = _reference_hists()
     t0 = time.perf_counter()
     res = validate(
-        bad_dir,
+        input_dir,
         sequences_rules(),
         expected_schema=SEQUENCES_SCHEMA,
         broadcast={"allowed_sources": SOURCES},
@@ -79,6 +108,7 @@ def _headline(sf_dir: str) -> dict:
         "rows": res.metrics["total_rows"],
         "rows_per_sec": res.metrics["total_rows"] / wall,
         "n_violations": len(res.violations),
+        "phases": res.metrics["phases"],
     }
 
 
@@ -109,9 +139,24 @@ def _run_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def _seq_input_for(sf_dir: str) -> str:
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq
+
+    return ensure_seq(sf_dir)
+
+
+def _scale_input() -> str:
+    from seronet_data_validator_ray.datagen import generate_sequences
+
+    generate_sequences(SCALE_DIR, n_rows=SCALE_ROWS, seed=42, bad=True, rows_per_file=16384)
+    return SCALE_DIR
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool, scale_input: bool) -> dict:
+    input_dir = _scale_input() if scale_input else _seq_input_for(sf_dir)
     _init_ray(num_cpus)
-    head = _headline(sf_dir)
+    _warmup(num_cpus)
+    head = _headline(input_dir)
     result = {
         "metric": "validated sequences/sec (end-to-end validation throughput)",
         "value": round(head["wall_sec"], 4),
@@ -119,33 +164,30 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         "rows": head["rows"],
         "rows_per_sec": round(head["rows_per_sec"], 1),
         "n_violations": head["n_violations"],
+        "phases": head["phases"],
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "queries": {} if headline_only else _run_queries(sf_dir),
     }
-    import ray
-
     ray.shutdown()
     return result
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
-    # pre-generate the input once so both runs time only the pipeline
-    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq, seq_dir_for, seq_rows_for
-    from seronet_data_validator_ray.datagen import generate_sequences
-
-    ensure_seq(sf_dir)
-    generate_sequences(
-        seq_dir_for(sf_dir).replace("-bad", "-clean"), n_rows=seq_rows_for(sf_dir), seed=42
-    )
+    _scale_input()  # generate once so both runs time only the pipeline
     runs = {}
     for n in (lo, hi):
         proc = subprocess.run(
-            [sys.executable, __file__, "--headline-only", "--cpus", str(n), "--sf-dir", sf_dir],
+            [
+                sys.executable, __file__, "--headline-only", "--scale-input",
+                "--cpus", str(n), "--sf-dir", sf_dir,
+            ],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=3000,
         )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling run at {n} cpus failed: {proc.stderr[-2000:]}")
         line = proc.stdout.strip().splitlines()[-1]
         runs[n] = json.loads(line)
     tput_lo, tput_hi = runs[lo]["rows_per_sec"], runs[hi]["rows_per_sec"]
@@ -154,7 +196,8 @@ def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
         "metric": "scaling efficiency (throughput@4N / (4 x throughput@N))",
         "value": round(eff, 4),
         "unit": "ratio",
-        "sf": sf_dir,
+        "sf": SCALE_DIR,
+        "rows": SCALE_ROWS,
         "num_cpus": [lo, hi],
         "rows_per_sec": {str(lo): tput_lo, str(hi): tput_hi},
         "wall_sec": {str(lo): runs[lo]["value"], str(hi): runs[hi]["value"]},
@@ -166,6 +209,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scale-input", action="store_true")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument(
         "--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,7 +221,7 @@ def main():
     if args.scaling:
         result = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
     else:
-        result = run_bench(args.sf_dir, args.cpus, args.headline_only)
+        result = run_bench(args.sf_dir, args.cpus, args.headline_only, args.scale_input)
     print(json.dumps(result))
 
 

@@ -152,20 +152,40 @@ def _plant_bad(sources, doc_ids, lengths, offsets, values, rng):
         cand = int(lengths[r]) + (delta if int(lengths[r]) + delta <= MAX_LEN else -delta)
         n_tok[r] = np.int32(max(1, cand))
 
-    # drift.source: shift ALL of source "forums" token values to upper half of vocab
-    drift_rows = np.nonzero(sources == "forums")[0]
-    for r in drift_rows:
-        seg = slice(offsets[r], offsets[r + 1])
-        values[seg] = VOCAB // 2 + (values[seg].astype(np.int64) % (VOCAB - VOCAB // 2)).astype(
-            np.int32
-        )
+    # drift.source: shift ALL of source "forums" token values to upper half of
+    # vocab — vectorized over the flattened values (a per-row loop is O(rows))
+    forums_mask = sources == "forums"
+    lengths_arr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    flat_mask = np.repeat(forums_mask, lengths_arr)
+    half = VOCAB - VOCAB // 2
+    values[flat_mask] = (VOCAB // 2 + (values[flat_mask].astype(np.int64) % half)).astype(
+        np.int32
+    )
     return n_tok
+
+
+def _gather_tokens(rows, lengths, offsets, values) -> pa.ListArray:
+    """Vectorized per-chunk gather of ragged rows → a fresh int32-offset
+    ListArray. Avoids materializing one global ListArray, whose flat offsets
+    overflow int32 past ~2^31 total tokens (>8M rows × ~512 tok)."""
+    lens = lengths[rows]
+    out_offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    # flat source index: position j of output row r maps to offsets[r] + (j - out_offsets[r])
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_offsets[:-1], lens)
+        + np.repeat(offsets[rows], lens)
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(out_offsets, type=pa.int64()).cast(pa.int32()), pa.array(values[idx])
+    )
 
 
 def _write_partitions(out_dir, sources, doc_ids, lengths, offsets, values, n_tok, rows_per_file):
     os.makedirs(out_dir, exist_ok=True)
     files = []
-    tokens_all = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), pa.array(values))
     for src in sorted(set(sources.tolist())):
         rows = np.nonzero(sources == src)[0]
         for k in range(0, len(rows), rows_per_file):
@@ -173,7 +193,7 @@ def _write_partitions(out_dir, sources, doc_ids, lengths, offsets, values, n_tok
             tbl = pa.table(
                 {
                     "doc_id": pa.array(doc_ids[chunk].tolist(), type=pa.string()),
-                    "tokens": tokens_all.take(pa.array(chunk, type=pa.int64())),
+                    "tokens": _gather_tokens(chunk, lengths, offsets, values),
                     "n_tok": pa.array(n_tok[chunk], type=pa.int32()),
                     "source": pa.array(sources[chunk].tolist(), type=pa.string()),
                 },

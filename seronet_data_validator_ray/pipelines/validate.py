@@ -157,6 +157,7 @@ def validate(
     output_dir: str | None = None,
     resume: bool = True,
     batch_size: int = 8192,
+    eval_mode: str = "actors",
     eval_concurrency=None,
     target_rows_per_task: int = 128 * 1024,
     wave_size: int | None = None,
@@ -235,23 +236,35 @@ def validate(
         sub_plan = ReadPlan(files=wave)
         items = sub_plan.work_items(target_rows_per_task)
         ds = read_with_provenance(items, columns=columns, yield_rows=batch_size)
-        # fixed-size actor pool (autoscaling from 1 ramps too slowly for a
-        # finite wave); size to the smaller of CPUs and read tasks
-        conc = eval_concurrency or min(ncpu, max(2, len(items)))
-        outcome = ds.map_batches(
-            RuleEvaluator,
-            fn_constructor_kwargs={
-                "rules": ruleset.row_local(),
-                "ctx_ref": ctx_ref,
-                "key_column": ruleset.key_column,
-                "stats_spec": stats_spec,
-            },
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=None,  # consume the reader's yielded blocks as batches
-            concurrency=conc,
-            num_cpus=1,
-        )
+        eval_kwargs = {
+            "rules": ruleset.row_local(),
+            "ctx_ref": ctx_ref,
+            "key_column": ruleset.key_column,
+            "stats_spec": stats_spec,
+        }
+        if eval_mode == "actors":
+            # fixed-size actor pool (autoscaling from 1 ramps too slowly for a
+            # finite wave); sized to the smaller of CPUs and read tasks
+            conc = eval_concurrency or min(ncpu, max(2, len(items)))
+            outcome = ds.map_batches(
+                RuleEvaluator,
+                fn_constructor_kwargs=eval_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,  # consume the reader's yielded blocks
+                concurrency=conc,
+                num_cpus=1,
+            )
+        else:
+            # stateless tasks on the warm worker pool (no per-run actor spawn);
+            # the instance pickles only rule specs — broadcast state resolves
+            # once per worker via the object store (see RuleEvaluator)
+            outcome = ds.map_batches(
+                RuleEvaluator(**eval_kwargs),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
         # ONE execution; the outcome (violations + per-batch stats rows) is
         # small, so split it driver-side instead of re-running filter stages
         tp = time.perf_counter()

@@ -65,8 +65,23 @@ def _string_take(col: pa.Array, idx: np.ndarray) -> pa.Array:
     return taken
 
 
+_BROADCAST_CACHE: dict[str, dict] = {}
+
+
+def _resolve_broadcast(ref) -> dict:
+    """Fetch a broadcast ObjectRef once per worker process (cached)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 class RuleEvaluator:
-    """Callable-class stage: compile once per actor, evaluate per batch."""
+    """Callable stage: works both as an actor-pool CLASS (state resolved once
+    per actor) and as a pickled instance for stateless tasks (broadcast ctx
+    resolved lazily, once per worker process, via ``_resolve_broadcast``)."""
 
     def __init__(
         self,
@@ -76,15 +91,27 @@ class RuleEvaluator:
         key_column: str | None = "doc_id",
         stats_spec: StatsSpec | None = None,
     ):
-        if ctx_ref is not None:
-            import ray
-
-            ctx = dict(ctx or {})
-            ctx.update(ray.get(ctx_ref))
-        self.ctx = ctx or {}
+        self._base_ctx = ctx or {}
+        self._ctx_ref = ctx_ref
+        self._resolved: dict | None = None if ctx_ref is not None else dict(self._base_ctx)
         self.rules = [r for r in rules if r.kind != "unique"]
         self.key_column = key_column
         self.stats_spec = stats_spec
+
+    @property
+    def ctx(self) -> dict:
+        if self._resolved is None:
+            merged = dict(self._base_ctx)
+            merged.update(_resolve_broadcast(self._ctx_ref))
+            self._resolved = merged
+        return self._resolved
+
+    def __getstate__(self):
+        # never pickle resolved broadcast data into task submissions
+        state = dict(self.__dict__)
+        if self._ctx_ref is not None:
+            state["_resolved"] = None
+        return state
 
     # ----------------------------------------------------------------- helpers
 

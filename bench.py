@@ -122,6 +122,11 @@ QUERY_NAMES = [
     "seq_violations",
     "seq_dup_ids",
     "seq_token_hist",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "knn_brute_force",
+    "text_quality",
 ]
 
 

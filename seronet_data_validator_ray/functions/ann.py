@@ -1,0 +1,260 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+list<float>, label).
+
+- cosine_near_dup: exact cosine-threshold self-join. The full normalized
+  matrix is broadcast ONCE via ray.put and every map_batches task computes
+  batch x corpus sims with one f64 matmul — the brute-force baseline. At
+  100 TB the broadcast side is replaced by the IVF routing below; the plan
+  shape (broadcast + batch matmul, no shuffle) is the scale pattern for
+  "small static side vs streaming big side".
+- knn_brute_force: top-k per query. Per-batch partial top-k (numpy argmax
+  over one matmul) then a tiny groupby(query).map_groups final merge — the
+  combiner-before-shuffle pattern; only q*k rows per batch ever shuffle.
+- ann_ivf: IVF index — deterministic seeded k-means fit on a driver-side
+  sample, centroids broadcast, cluster assignment + probing inside
+  map_batches. Approximate: recall is cross-checked against brute force in
+  tests.
+
+All similarities are computed in float64 and reported as integer
+micro-units (floor(1e6*cos)) so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+COSINE_TAU_UNITS = 400_000  # tau = 0.40 in micro-units
+KNN_K = 10
+N_QUERIES = 8  # queries = embeddings with vec_id < N_QUERIES
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 8
+IVF_SAMPLE = 256
+
+
+def _stack(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _corpus(sf_dir: str):
+    """Driver-side load of (ids, normalized matrix) for the broadcast side.
+    Small by design (the index side of an ANN search); the streaming side
+    stays a Dataset."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(
+        tbl["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), -1)
+    )
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+class CosinePairs:
+    """Actor-pool stage: broadcast corpus fetched once per actor; per batch
+    one (batch x corpus) matmul, emit i<j pairs above tau."""
+
+    def __init__(self, corpus_ref):
+        import ray
+
+        self.ids, self.mat = ray.get(corpus_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = _normalize(_stack(batch))
+        sims = bmat @ self.mat.T  # [batch, corpus]
+        units = np.floor(1e6 * sims).astype(np.int64)
+        keep = (units >= COSINE_TAU_UNITS) & (bids[:, None] < self.ids[None, :])
+        bi, cj = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(bids[bi], type=pa.int64()),
+                "vec_id_b": pa.array(self.ids[cj], type=pa.int64()),
+                "sim_u": pa.array(units[bi, cj], type=pa.int64()),
+            }
+        )
+
+
+def cosine_near_dup(sf_dir: str) -> pa.Table:
+    import ray
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    corpus_ref = ray.put(_corpus(sf_dir))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return ds_to_table(pairs)
+
+
+class KnnPartial:
+    """Per-batch partial top-k: queries broadcast once per actor; emit at
+    most q*k candidate rows per batch (the shuffle stays tiny)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        self.qids, self.qmat = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vmat = _normalize(_stack(batch))
+        sims = self.qmat @ vmat.T  # [q, batch]
+        units = np.floor(1e6 * sims).astype(np.int64)
+        q_out, v_out, s_out = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = vids != qid  # exclude self
+            cand_v, cand_s = vids[mask], units[qi][mask]
+            if cand_v.size > self.k:
+                # top-k by (sim desc, vec_id asc): lexsort on (-sim, vid)
+                top = np.lexsort((cand_v, -cand_s))[: self.k]
+            else:
+                top = np.arange(cand_v.size)
+            q_out.extend([qid] * top.size)
+            v_out.extend(cand_v[top].tolist())
+            s_out.extend(cand_s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "vec_id": pa.array(v_out, type=pa.int64()),
+                "sim_u": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+
+def _final_topk(group: pa.Table) -> pa.Table:
+    vids = group["vec_id"].to_numpy(zero_copy_only=False)
+    sims = group["sim_u"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((vids, -sims))[:KNN_K]
+    n = top.size
+    return pa.table(
+        {
+            "query_id": group["query_id"].take(pa.array(top)),
+            "vec_id": pa.array(vids[top], type=pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), type=pa.int64()),
+            "sim_u": pa.array(sims[top], type=pa.int64()),
+        }
+    )
+
+
+def _queries_side(sf_dir: str):
+    ids, mat = _corpus(sf_dir)
+    mask = ids < N_QUERIES
+    return ids[mask], mat[mask]
+
+
+def knn_brute_force(sf_dir: str) -> pa.Table:
+    import ray
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    queries_ref = ray.put(_queries_side(sf_dir))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        KnnPartial,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": KNN_K},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    final = partial.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+    return ds_to_table(final)
+
+
+# ------------------------------------------------------------------- IVF
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's: init = first k rows, empty clusters re-seeded
+    to the farthest point. Runs driver-side on a bounded sample."""
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine similarity (all normalized)
+        assign = np.argmax(d, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+            else:
+                far = np.argmin(np.max(d, axis=1))
+                cents[c] = sample[far]
+    return cents
+
+
+class IvfSearch:
+    """Probe the IVF_NPROBE nearest centroids per query; within a batch,
+    score only vectors whose assigned centroid is probed by some query."""
+
+    def __init__(self, state_ref):
+        import ray
+
+        self.qids, self.qmat, self.cents = ray.get(state_ref)
+        # per-query probed cluster set
+        qc = self.qmat @ self.cents.T
+        self.probes = np.argsort(-qc, axis=1)[:, :IVF_NPROBE]  # [q, nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vmat = _normalize(_stack(batch))
+        assign = np.argmax(vmat @ self.cents.T, axis=1)  # [batch]
+        units = np.floor(1e6 * (self.qmat @ vmat.T)).astype(np.int64)
+        q_out, v_out, s_out = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probes[qi]) & (vids != qid)
+            cand_v, cand_s = vids[mask], units[qi][mask]
+            if cand_v.size > KNN_K:
+                top = np.lexsort((cand_v, -cand_s))[:KNN_K]
+            else:
+                top = np.arange(cand_v.size)
+            q_out.extend([qid] * top.size)
+            v_out.extend(cand_v[top].tolist())
+            s_out.extend(cand_s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "vec_id": pa.array(v_out, type=pa.int64()),
+                "sim_u": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF top-k: approximate (probes IVF_NPROBE of IVF_CLUSTERS lists).
+    Recall vs knn_brute_force is asserted in tests, not here."""
+    import ray
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    ids, mat = _corpus(sf_dir)
+    sample = mat[:IVF_SAMPLE]
+    cents = _kmeans_fit(sample, IVF_CLUSTERS, IVF_ITERS)
+    qids, qmat = _queries_side(sf_dir)
+    state_ref = ray.put((qids, qmat, cents))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(
+        IvfSearch,
+        fn_constructor_kwargs={"state_ref": state_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    final = partial.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
+    return ds_to_table(final)

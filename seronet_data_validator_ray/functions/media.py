@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+decoded / feature-extracted by an actor-pool map_batches stage.
+
+The container has no image/audio codecs, so the actual decode is STUBBED:
+`MediaDecoder(real=True)` raises NotImplementedError at the exact seam where
+PIL/ffmpeg would plug in; the default deterministic fake decoder parses the
+same fake header the encoder writes. Everything around the stub — the binary
+Arrow schema, per-actor codec init, batch sizing for large payloads, and the
+feature output layout — is real and tested.
+
+At 100 TB of media: payloads dominate block size, so the stage runs with a
+small `batch_size` and `num_cpus>=1` per actor, and the decoded features
+(tiny) flow on while the binary column is dropped immediately after decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("media_type", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def encode_fake_media_batch(batch: pa.Table) -> pa.Table:
+    """documents -> fake media rows: an 8-byte magic + packed (w, h, frames)
+    header followed by the utf8 text bytes as the 'pixel' payload."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for txt in batch["text"].to_pylist():
+        raw = txt.encode()
+        w = 16 + len(raw) % 64
+        h = 16 + (len(raw) * 7) % 64
+        frames = 1 + len(raw) % 4
+        payloads.append(_MAGIC + struct.pack("<III", w, h, frames) + raw)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["image/fake"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class MediaDecoder:
+    """Actor-pool stage: codec 'loaded' once per actor in __init__, decode +
+    feature-extract per batch; the binary column never leaves this stage."""
+
+    def __init__(self, real: bool = False):
+        self.real = real
+        if real:
+            raise NotImplementedError(
+                "real decode needs an image/audio codec (PIL/ffmpeg) — not in this container; "
+                "swap this branch for the codec import when deploying"
+            )
+        self._codec = "fake-v1"
+
+    def _decode(self, payload: bytes):
+        if self.real:  # pragma: no cover - stub seam
+            raise NotImplementedError
+        assert payload[:8] == _MAGIC, "bad media payload"
+        w, h, frames = struct.unpack("<III", payload[8:20])
+        body = payload[20:]
+        return w, h, frames, body
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "width": [], "height": [], "n_frames": [], "feat_u": []}
+        for doc_id, payload in zip(ids, batch["payload"].to_pylist()):
+            w, h, frames, body = self._decode(payload)
+            # deterministic 'embedding' scalar: first 8 digest bytes of the body
+            feat = int.from_bytes(
+                hashlib.blake2b(body, digest_size=8).digest(), "little"
+            ) & ((1 << 63) - 1)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_frames"].append(frames)
+            out["feat_u"].append(feat)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "width": pa.array(out["width"], type=pa.int64()),
+                "height": pa.array(out["height"], type=pa.int64()),
+                "n_frames": pa.array(out["n_frames"], type=pa.int64()),
+                "feat_u": pa.array(out["feat_u"], type=pa.int64()),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> pa.Table:
+    """documents -> fake binary media -> actor-pool decode -> features.
+    Small batch_size: binary payloads dominate memory at scale."""
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+    feats = media.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"real": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+    )
+    return ds_to_table(feats)

@@ -1,0 +1,286 @@
+"""Oracle-paired queries for the large-scale training-data operators
+(dedup / similarity / text analysis / multimodal) over the driver's
+`documents` and `embeddings` tables.
+
+Same contract as pipelines.table_queries: REGISTRY[name] = (fn(sf_dir) ->
+Table/Dataset/DataFrame, ansi_sql | None). SQL-expressible ops carry a DuckDB
+oracle with IDENTICAL column names and exact integer arithmetic
+(basis-points via floor) so value hashes match; approximate / stateful ops
+(MinHash-LSH, SimHash, IVF, winnowing, media decode) are rows-only and are
+instead cross-checked against their exact counterparts in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from seronet_data_validator_ray.functions import textstats
+
+REGISTRY: dict[str, tuple] = {}  # name -> (fn(sf_dir) -> result, sql | None)
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    from seronet_data_validator_ray.util import ds_to_table
+
+    return ds_to_table(ds)
+
+
+# ------------------------------------------------------------------ text analysis
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.TOKEN_PATTERN}')) AS BIGINT) AS n_re_tokens
+FROM documents
+"""
+
+
+@query("token_count", _TOKEN_COUNT_SQL)
+def token_count(sf_dir: str) -> pa.Table:
+    """Whitespace + BPE-ish regex token counts (SURVEY §2 extension; the
+    RE2 pattern is shared verbatim with the oracle)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(textstats.token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _sql_word_pat(words) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{_sql_word_pat(textstats.STOPWORDS)}')) AS BIGINT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_words,
+         (10000 * (n_chars - (n_words - 1))) // greatest(n_words, 1) AS mean_word_len_bp,
+         (10000 * n_stop) // greatest(n_words, 1) AS stop_ratio_bp,
+         (10000 * n_punct) // greatest(n_chars, 1) AS punct_ratio_bp,
+         least(10000, 100 * n_words) AS len_component,
+         CASE WHEN n_chars BETWEEN 50 AND 400 THEN 10000 ELSE 0 END AS range_bonus
+  FROM m
+)
+SELECT doc_id, n_chars, n_words, mean_word_len_bp, stop_ratio_bp, punct_ratio_bp,
+       len_component // 4 + stop_ratio_bp // 4 + (10000 - punct_ratio_bp) // 4
+         + range_bonus // 4 AS score_bp
+FROM r
+"""
+
+
+@query("text_quality", _TEXT_QUALITY_SQL)
+def text_quality(sf_dir: str) -> pa.Table:
+    """C4-style length/stopword/punct quality score, integer-exact."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(textstats.text_quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{_sql_word_pat(ws)}')) AS BIGINT) AS hits_{lang}"
+        for lang, ws in sorted(textstats.LANG_PROFILES.items())
+    )
+    # cascade = first-alphabetical argmax (ties break to the earlier language)
+    langs = textstats.LANGS
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"hits_{lang} >= hits_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    hit_names = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM documents)
+SELECT doc_id, {hit_names}, {case_sql} AS pred_lang
+FROM h
+"""
+
+
+@query("lang_id", _lang_id_sql())
+def lang_id(sf_dir: str) -> pa.Table:
+    """Marker-word (n-gram heuristic) language identification."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(textstats.lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ------------------------------------------------------------------ similarity search
+
+_COSINE_NEAR_DUP_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(floor(1000000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[]))) AS BIGINT) AS sim_u
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, sim_u FROM sims WHERE sim_u >= 400000
+"""
+
+
+@query("cosine_near_dup", _COSINE_NEAR_DUP_SQL)
+def cosine_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (tau=0.4), brute-force exact:
+    broadcast normalized corpus + one f64 matmul per batch."""
+    from seronet_data_validator_ray.functions import ann
+
+    return ann.cosine_near_dup(sf_dir)
+
+
+_KNN_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         CAST(floor(1000000 * list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(v.embedding AS DOUBLE[]))) AS BIGINT) AS sim_u
+  FROM embeddings q JOIN embeddings v ON q.vec_id < 8 AND v.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, sim_u,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_u DESC, vec_id) AS BIGINT) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, rank, sim_u FROM ranked WHERE rank <= 10
+"""
+
+
+@query("knn_brute_force", _KNN_SQL)
+def knn_brute_force(sf_dir: str) -> pa.Table:
+    """Exact cosine top-k (k=10) for the 8 query vectors: per-batch partial
+    top-k, tiny groupby(query) final merge. Deterministic rank ties broken
+    by (sim_u DESC, vec_id ASC) on integer micro-units on BOTH sides."""
+    from seronet_data_validator_ray.functions import ann
+
+    return ann.knn_brute_force(sf_dir)
+
+
+@query("ann_ivf", None)
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF (16 lists, probe 4) approximate top-k. Rows-only; recall vs
+    knn_brute_force asserted in tests."""
+    from seronet_data_validator_ray.functions import ann
+
+    return ann.ann_ivf(sf_dir)
+
+
+# ------------------------------------------------------------------ fingerprints / media
+
+@query("doc_fingerprint", None)
+def doc_fingerprint(sf_dir: str) -> pa.Table:
+    """Winnowing rolling-hash fingerprints (deterministic; rows-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+@query("media_features", None)
+def media_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary payload column -> actor-pool decode stub
+    -> typed features. Rows-only (decode is a deterministic fake)."""
+    from seronet_data_validator_ray.functions import media
+
+    return media.media_features(sf_dir)
+
+
+# ------------------------------------------------------------------ dedup: near-dup pairs
+
+_JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS i,
+         CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS u
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, (10000 * i) // u AS jac_bp
+FROM pairs WHERE 10 * i >= 9 * u
+"""
+
+
+@query("dedup_jaccard_pairs", _JACCARD_PAIRS_SQL)
+def dedup_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """EXACT word-set Jaccard similarity join at tau=0.9 via AllPairs
+    prefix-filter blocking — lossless, so the all-pairs DuckDB oracle must
+    match bit-for-bit (integer Jaccard in basis points)."""
+    from seronet_data_validator_ray.functions import dedup
+
+    return dedup.jaccard_pairs_exact(sf_dir)
+
+
+@query("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+    """MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified. Rows-only
+    for the driver; tests cross-check equality with dedup_jaccard_pairs."""
+    from seronet_data_validator_ray.functions import dedup
+
+    return dedup.minhash_lsh_pairs(sf_dir)
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash-64 near-dup pairs at hamming<=3 via pigeonhole band blocking
+    (lossless given signatures). Rows-only; brute-force checked in tests."""
+    from seronet_data_validator_ray.functions import dedup
+
+    return dedup.simhash_pairs(sf_dir)
+
+
+# ------------------------------------------------------------------ dedup: exact
+
+_DEDUP_EXACT_SQL = """
+SELECT text, min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+@query("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: hash-partition on content, keep min doc_id per group.
+
+    Idiomatic Ray Data: `groupby(key).aggregate(Min, Count)` — one all-to-all
+    shuffle on the content key. At 100 TB you group on a 16-byte content
+    digest computed in a map_batches stage instead of the raw text (same
+    plan shape, tiny shuffle payload); here the raw column doubles as the
+    digest so the DuckDB oracle can reproduce the grouping.
+    """
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = ds.groupby("text").aggregate(Min("doc_id"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text": batch["text"],
+                "keep_doc_id": batch["min(doc_id)"],
+                "n_copies": pa.compute.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return _collect(agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True))

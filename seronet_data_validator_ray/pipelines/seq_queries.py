@@ -182,7 +182,7 @@ _BAD_ROW_SQL = f"""(
     _CTE
     + f"""
 SELECT source, count(*) AS n_rows,
-       SUM(CASE WHEN {_BAD_ROW_SQL} THEN 1 ELSE 0 END) AS n_bad_rows
+       CAST(SUM(CASE WHEN {_BAD_ROW_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows
 FROM seq GROUP BY source
 """,
 )
@@ -234,7 +234,7 @@ def seq_verdict_by_source(sf_dir: str) -> pa.Table:
     "seq_stats_by_source",
     _CTE
     + """
-SELECT source, count(*) AS n_rows, SUM(n_tok) AS sum_n_tok,
+SELECT source, count(*) AS n_rows, CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
        min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
        count(DISTINCT doc_id) AS n_ids
 FROM seq GROUP BY source

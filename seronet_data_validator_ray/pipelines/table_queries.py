@@ -205,7 +205,7 @@ def orders_enriched(sf_dir: str) -> pa.Table:
 @query(
     "revenue_by_region",
     """
-SELECT r_name, count(*) AS n, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+SELECT r_name, count(*) AS n, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -268,11 +268,11 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
     "stats_lineitem",
     """
 SELECT count(*) AS n,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price,
-       SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp
+       CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp
 FROM lineitem
 """,
 )
@@ -307,8 +307,8 @@ def stats_lineitem(sf_dir: str) -> pa.Table:
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -385,7 +385,7 @@ def top_orders(sf_dir: str) -> pa.Table:
     "events_hourly",
     """
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, count(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """,
 )
@@ -405,7 +405,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
     "events_json_k",
     """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
 )
@@ -424,3 +424,159 @@ def events_json_k(sf_dir: str) -> pa.Table:
         .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
     )
     return _ds_table(ds).select(["event_type", "n", "sum_k"])
+
+
+# --------------------------------------------------------------- date rules / sessions / join
+
+@query(
+    "events_date_rules",
+    """
+SELECT 'ts.too_early' AS rule_id, event_id, epoch_us(ts) AS ts_us, 'Error' AS severity
+FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+UNION ALL
+SELECT 'ts.too_late' AS rule_id, event_id, epoch_us(ts) AS ts_us, 'Warning' AS severity
+FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+""",
+)
+def events_date_rules(sf_dir: str) -> pa.Table:
+    """M8 date-bounds rules (check_date, File_Submission_Object.py:399-431):
+    timestamp window [2024-01-05, 2024-01-25], early -> Error, late -> Warning,
+    evaluated as vectorized pc comparisons per batch."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(2024, 1, 5), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(2024, 1, 25), type=pa.timestamp("us"))
+
+    def rules(batch: pa.Table) -> pa.Table:
+        ts, eid = batch["ts"], batch["event_id"]
+        out = []
+        for rule_id, mask, sev in (
+            ("ts.too_early", pc.less(ts, lo), "Error"),
+            ("ts.too_late", pc.greater(ts, hi), "Warning"),
+        ):
+            idx = pc.indices_nonzero(pc.fill_null(mask, False))
+            out.append(
+                pa.table(
+                    {
+                        "rule_id": pa.array([rule_id] * len(idx), type=pa.string()),
+                        "event_id": eid.take(idx),
+                        "ts_us": pc.cast(ts.take(idx), pa.int64()),
+                        "severity": pa.array([sev] * len(idx), type=pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"]).map_batches(
+        rules, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _ds_table(ds)
+
+
+@query(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), flags AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flags
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id
+""",
+)
+def events_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-and-island sessionization (30-min inactivity): groupby(user)
+    shuffle + vectorized per-group diff/cumsum — the streaming-window family
+    the reference lacks (SURVEY §2.9)."""
+    from seronet_data_validator_ray.functions.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts"]), gap_minutes=30.0
+    )
+
+
+@query(
+    "order_total_consistency",
+    """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS computed_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS declared_cents,
+       li.computed_cents,
+       li.computed_cents - CAST(round(o.o_totalprice * 100) AS BIGINT) AS delta_cents
+FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+""",
+)
+def order_total_consistency(sf_dir: str) -> pa.Table:
+    """J4-family per-key consistency via a real distributed hash join
+    (Dataset.join): lineitem pre-aggregated to cents per orderkey (combiner
+    before the shuffle), inner-joined to orders, declared vs computed."""
+    from ray.data.aggregate import Sum
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        net = pc.multiply(
+            pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64())),
+            ),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                # DuckDB round() is half-away-from-zero; pyarrow defaults to
+                # half-to-even — and exact .5 cents are common here
+                "cents": pc.cast(pc.round(net, round_mode="half_towards_infinity"), pa.int64()),
+            }
+        )
+
+    computed = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents", alias_name="computed_cents"))
+    )
+
+    def o_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "declared_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        o_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = orders.join(
+        computed,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "declared_cents": batch["declared_cents"],
+                "computed_cents": batch["computed_cents"],
+                "delta_cents": pc.subtract(batch["computed_cents"], batch["declared_cents"]),
+            }
+        )
+
+    return _ds_table(joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True))

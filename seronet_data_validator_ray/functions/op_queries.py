@@ -250,6 +250,44 @@ def dedup_simhash(sf_dir: str) -> pa.Table:
     return dedup.simhash_pairs(sf_dir)
 
 
+# ------------------------------------------------------------------ approximate stats
+
+@query("approx_stats_lineitem", None)
+def approx_stats_lineitem(sf_dir: str) -> pa.Table:
+    """Engine-native sketches (SURVEY §2.6): HyperLogLog distinct + t-digest
+    quantiles per column, as per-batch partial sketches merged driver-side —
+    the partial+final aggregation pattern; only tiny sketch payloads move.
+    Rows-only: accuracy vs exact SQL is asserted in tests, not hash-matched."""
+    import pickle
+
+    from seronet_data_validator_ray.sketches import HyperLogLog, TDigest
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hll_ok = HyperLogLog(p=12).add_array(batch["l_orderkey"])
+        td = TDigest().add_array(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(float)
+        )
+        return pa.table({"sk": pa.array([pickle.dumps((hll_ok, td))], type=pa.binary())})
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hll, td = HyperLogLog(p=12), TDigest()
+    for blob in _collect(ds)["sk"].to_pylist():
+        h, t = pickle.loads(blob)
+        hll.merge(h)
+        td.merge(t)
+    return pa.table(
+        {
+            "column": pa.array(["l_orderkey", "l_extendedprice"], type=pa.string()),
+            "approx_distinct": pa.array([int(hll.estimate()), 0], type=pa.int64()),
+            "p50_cents": pa.array([0, int(round(td.quantile(0.5) * 100))], type=pa.int64()),
+            "p95_cents": pa.array([0, int(round(td.quantile(0.95) * 100))], type=pa.int64()),
+            "p99_cents": pa.array([0, int(round(td.quantile(0.99) * 100))], type=pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ dedup: exact
 
 _DEDUP_EXACT_SQL = """

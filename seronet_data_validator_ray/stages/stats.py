@@ -75,14 +75,14 @@ class PartialStats:
 
         if spec.list_col and spec.list_col in batch.column_names:
             col = batch.column(spec.list_col).combine_chunks()
-            lengths = np.asarray(
-                pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
-                dtype=np.int64,
-            )
-            # int64 view of the flattened tokens — NO float conversion on the
-            # hot path (a 2M-element float64 copy per batch is the difference
-            # between 50ms and 5ms here)
-            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                zero_copy_only=False
+            )  # int32, one small copy
+            # flattened tokens stay in their NATIVE int32: every widening or
+            # float temporary here is a 17-35 MB allocation per batch, and 32
+            # concurrent actors turn that into a memory-bandwidth wall (this
+            # section measured 48 s of a 62 s eval phase before the rewrite)
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
             if len(flat):
                 fmin, fmax = float(flat.min()), float(flat.max())
                 if self.list_minmax is None:
@@ -97,20 +97,36 @@ class PartialStats:
                 )
                 uniq, gidx = np.unique(groups, return_inverse=True)
                 lo, hi, nb = spec.list_hist
-                # integer binning, fully vectorized: one bincount over a
-                # (group, bin) combined index — no per-group loop or filter
-                bins = np.clip((flat - int(lo)) * nb // int(hi - lo), 0, nb - 1)
-                parent_g = np.repeat(gidx, lengths)
-                combo = np.bincount(parent_g * nb + bins, minlength=len(uniq) * nb)
-                combo = combo.reshape(len(uniq), nb)
+                # integer binning in int32 with in-place ops: (tok - lo)*nb
+                # fits int32 for nb*hi < 2^31 (64 * 50257 « 2^31)
+                bins = flat.astype(np.int32, copy=True) if flat.dtype != np.int32 else flat.copy()
+                if lo:
+                    np.subtract(bins, np.int32(lo), out=bins)
+                np.multiply(bins, np.int32(nb), out=bins)
+                np.floor_divide(bins, np.int32(hi - lo), out=bins)
+                np.clip(bins, 0, nb - 1, out=bins)
                 llo, lhi, lnb = spec.len_hist
                 ref_len_hist = Histogram.log_spaced(llo, lhi, lnb)
                 lbins = np.clip(
                     np.searchsorted(ref_len_hist.edges, lengths, side="right") - 1, 0, lnb - 1
                 )
-                lcombo = np.bincount(gidx * lnb + lbins, minlength=len(uniq) * lnb)
-                lcombo = lcombo.reshape(len(uniq), lnb)
-                gcounts = np.bincount(gidx, minlength=len(uniq))
+                if len(uniq) == 1:
+                    # single-source batch (the common case: files are written
+                    # one partition per source) — no combined-index pass
+                    combo = np.bincount(bins, minlength=nb)[None, :]
+                    lcombo = np.bincount(lbins, minlength=lnb)[None, :]
+                    gcounts = np.array([len(gidx)])
+                else:
+                    parent_g = np.repeat(gidx.astype(np.int32), lengths)
+                    np.multiply(parent_g, np.int32(nb), out=parent_g)
+                    np.add(parent_g, bins, out=parent_g)
+                    combo = np.bincount(parent_g, minlength=len(uniq) * nb).reshape(
+                        len(uniq), nb
+                    )
+                    lcombo = np.bincount(gidx * lnb + lbins, minlength=len(uniq) * lnb).reshape(
+                        len(uniq), lnb
+                    )
+                    gcounts = np.bincount(gidx, minlength=len(uniq))
                 for k, g in enumerate(uniq):
                     if g not in self.group_list_hist:
                         self.group_list_hist[g] = Histogram.uniform(lo, hi, nb)

@@ -178,6 +178,38 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool, scale_input: bool
     return result
 
 
+def _hw_burn(_):
+    """Fixed memory-streaming workload shaped like the eval hot path
+    (int32 arithmetic + bincount over a 16 MB array)."""
+    import numpy as np
+
+    x = np.random.default_rng(0).integers(0, 50257, 4_000_000, dtype=np.int32)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        b = (x * np.int32(64)) // np.int32(50257)
+        np.bincount(np.clip(b, 0, 63), minlength=64)
+    return time.perf_counter() - t0
+
+
+def hw_calibration(lo: int, hi: int) -> dict:
+    """Memory-bandwidth ceiling of THIS machine, measured with plain numpy
+    (no Ray): per-process wall of the same streaming workload at lo and hi
+    concurrent processes. A single-node sandbox shares ONE memory bus across
+    all 'cluster sizes', so any streaming engine's measured N->4N efficiency
+    is bounded by this hardware ratio — on a real 4x-node cluster each node
+    brings its own memory bandwidth and the bound disappears."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            times = p.map(_hw_burn, range(n))
+        out[n] = n / (sum(times) / len(times))  # aggregate tasks/sec
+    hw_eff = out[hi] / (out[lo] * (hi / lo))
+    return {"tasks_per_sec": {str(k): round(v, 3) for k, v in out.items()},
+            "hw_scaling_efficiency": round(hw_eff, 4)}
+
+
 def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
     _scale_input()  # generate once so both runs time only the pipeline
     runs = {}
@@ -197,6 +229,8 @@ def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
         runs[n] = json.loads(line)
     tput_lo, tput_hi = runs[lo]["rows_per_sec"], runs[hi]["rows_per_sec"]
     eff = tput_hi / (tput_lo * (hi / lo))
+    hw = hw_calibration(lo, hi)
+    hw_eff = hw["hw_scaling_efficiency"]
     return {
         "metric": "scaling efficiency (throughput@4N / (4 x throughput@N))",
         "value": round(eff, 4),
@@ -206,6 +240,11 @@ def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
         "num_cpus": [lo, hi],
         "rows_per_sec": {str(lo): tput_lo, str(hi): tput_hi},
         "wall_sec": {str(lo): runs[lo]["value"], str(hi): runs[hi]["value"]},
+        "phases": {str(n): runs[n].get("phases", {}) for n in (lo, hi)},
+        # single-box memory-bus ceiling for the same-shaped streaming work
+        # (numpy-only, no Ray): the engine cannot exceed this on one node
+        "hw_calibration": hw,
+        "engine_vs_hw_ceiling": round(eff / hw_eff, 4) if hw_eff else None,
         "queries": {},
     }
 

@@ -112,14 +112,38 @@ def k_range(table, column, params, ctx):
     return _to_bool(pc.fill_null(fail, False)), None
 
 
+def flat_list_view(table, column, ctx):
+    """(lengths:int32, flat:native-dtype) view of a list column, cached per
+    batch in ``ctx["__flat_cache__"]`` so the token-range kernel and the stats
+    histogrammer flatten the 17 MB values buffer ONCE per batch, not three
+    times — this stage is memory-bandwidth-bound at 32 actors."""
+    cache = ctx.get("__flat_cache__") if isinstance(ctx, dict) else None
+    if cache is not None and column in cache:
+        return cache[column]
+    col = table.column(column).combine_chunks()
+    if isinstance(col, pa.ListArray):
+        # ZERO-copy: a ListArray's values ARE the flat buffer; offsets are
+        # absolute into it even for sliced arrays, and a null row repeats
+        # its offset (length 0) — same semantics as fill_null(len, 0)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        flat = vals[offs[0] : offs[-1]] if len(offs) else vals[:0]
+        lengths = np.diff(offs)
+    else:
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if cache is not None:
+        cache[column] = (lengths, flat)
+    return lengths, flat
+
+
 def k_list_value_range(table, column, params, ctx):
     """All list elements must lie in [lo, hi) — the token-range check
     (≙ check_if_number applied element-wise, SURVEY.md M6). Reports the first
     offending element per row as the observed value."""
     col = _col(table, column)
-    lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+    lengths, flat = flat_list_view(table, column, ctx)
     lengths = np.asarray(lengths, dtype=np.int64)
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     lo, hi = params["lo"], params["hi"]
     bad = (flat < lo) | (flat >= hi)
     n = len(col)
@@ -144,16 +168,19 @@ def k_eq_len_of(table, column, params, ctx):
     col = _col(table, column)
     of = _col(table, params["of"])
     if params.get("mode", "list") == "list":
-        length = pc.list_value_length(of)
+        lengths, _flat = flat_list_view(table, params["of"], ctx)
+        length = pa.array(lengths).cast(col.type)
     else:
-        length = pc.utf8_length(of)
-    length = pc.cast(length, col.type)
+        length = pc.cast(pc.utf8_length(of), col.type)
     fail = pc.not_equal(col, length)
     mask = _to_bool(fail)
-    obs = pc.binary_join_element_wise(
-        pc.cast(col, pa.string()), pc.cast(length, pa.string()), "!="
-    )
-    return mask, obs
+    # observed strings only for the failing rows — building them for the
+    # whole column costs three full-width allocations per batch
+    rows = np.nonzero(mask)[0]
+    observed = {
+        int(r): f"{col[int(r)].as_py()}!={length[int(r)].as_py()}" for r in rows
+    }
+    return mask, observed
 
 
 def k_col_cmp(table, column, params, ctx):
@@ -229,5 +256,30 @@ KERNELS = {
 }
 
 
+def register_kernel(kind: str, fn) -> None:
+    """User-extension hook (SURVEY §2.10): plug a custom rule kind into the
+    fused evaluator. ``fn(table, column, params, ctx) -> (mask, observed)``
+    where ``mask`` is a per-row bool violation array and ``observed`` is
+    ``None``, a per-row Arrow string array, or a ``{row: str}`` dict.
+    Must be vectorized — it runs per Arrow batch on every worker.
+
+    Register at import time in the module that defines the rule set, so the
+    registration replays inside each Ray worker when the rule module is
+    deserialized (≙ new `elif` branches in the reference's per-sheet rule
+    functions, /root/reference/Validation_Rules.py:129-513 — but as a plain
+    Python entry point instead of a source edit).
+    """
+    if not callable(fn):
+        raise TypeError(f"kernel for {kind!r} must be callable")
+    KERNELS[kind] = fn
+
+
 def evaluate_kernel(table: pa.Table, kind: str, column: str, params: dict, ctx: dict):
-    return KERNELS[kind](table, column, params, ctx)
+    try:
+        kernel = KERNELS[kind]
+    except KeyError:
+        raise KeyError(
+            f"no rule kernel registered for kind={kind!r}; "
+            f"known kinds: {sorted(KERNELS)}; add one with register_kernel()"
+        ) from None
+    return kernel(table, column, params, ctx)

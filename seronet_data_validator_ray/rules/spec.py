@@ -54,6 +54,10 @@ class RuleSpec:
     severity: str = Severity.ERROR
     message: str = ""
     dependency: tuple[str, str, dict] | None = None
+    # custom vectorized kernel fn(table, column, params, ctx) -> (mask, observed);
+    # carried BY VALUE through cloudpickle so user rules reach every Ray worker
+    # without a registry import on the worker side (SURVEY §2.10)
+    kernel: Any = None
 
     def describe(self) -> str:
         return self.message or f"{self.column} failed {self.kind} {self.params}"

@@ -60,8 +60,12 @@ def _string_take(col: pa.Array, idx: np.ndarray) -> pa.Array:
     if not pa.types.is_string(taken.type):
         try:
             taken = pc.cast(taken, pa.string())
-        except pa.ArrowInvalid:
-            taken = pa.array([str(v) for v in taken.to_pylist()], type=pa.string())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # e.g. list columns: Arrow has no list->utf8 cast; observed rows
+            # are few (violations only), so a Python repr is fine here
+            taken = pa.array(
+                [str(v)[:120] for v in taken.to_pylist()], type=pa.string()
+            )
     return taken
 
 
@@ -163,6 +167,10 @@ class RuleEvaluator:
     # ----------------------------------------------------------------- call
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-batch flatten cache shared by list kernels and stats (the list
+        # values buffer is ~17 MB/batch; flattening it once matters at 32
+        # concurrent actors) — reset each batch, read by flat_list_view
+        self.ctx["__flat_cache__"] = {}
         part, ridx = self._provenance(batch)
         if self.key_column and self.key_column in batch.column_names:
             key = batch.column(self.key_column).combine_chunks()
@@ -182,9 +190,14 @@ class RuleEvaluator:
                 )
                 if t is not None:
                     out.append(t)
-            mask, observed = evaluate_kernel(
-                batch, spec.kind, spec.column, spec.params, self.ctx
-            )
+            if getattr(spec, "kernel", None) is not None:
+                # user rule: the callable travels BY VALUE inside the spec
+                # (cloudpickle), so it exists on every worker without imports
+                mask, observed = spec.kernel(batch, spec.column, spec.params, self.ctx)
+            else:
+                mask, observed = evaluate_kernel(
+                    batch, spec.kind, spec.column, spec.params, self.ctx
+                )
             if dep_fail is not None:
                 mask = mask & ~dep_fail
             t = self._emit(batch, part, ridx, key, spec, mask, observed, spec.severity)
@@ -196,13 +209,18 @@ class RuleEvaluator:
             uniq = np.unique(parts_np)
             stats_rows = {"partition": [], "n_rows": [], "payload": []}
             if len(uniq) == 1:
-                subs = [(str(uniq[0]), batch)]  # common case: no copy
+                subs = [(str(uniq[0]), batch, True)]  # common case: no copy
             else:
                 subs = [
-                    (str(p), batch.filter(pa.array(parts_np == p))) for p in uniq
+                    (str(p), batch.filter(pa.array(parts_np == p)), False) for p in uniq
                 ]
-            for p, sub in subs:
-                ps = PartialStats(self.stats_spec).update(sub)
+            for p, sub, whole in subs:
+                flat_view = (
+                    self.ctx["__flat_cache__"].get(self.stats_spec.list_col)
+                    if whole and self.stats_spec.list_col
+                    else None
+                )
+                ps = PartialStats(self.stats_spec).update(sub, flat_view=flat_view)
                 stats_rows["partition"].append(p)
                 stats_rows["n_rows"].append(len(sub))
                 stats_rows["payload"].append(ps.to_bytes())

@@ -51,7 +51,10 @@ class PartialStats:
 
     # ------------------------------------------------------------------ update
 
-    def update(self, batch: pa.Table) -> "PartialStats":
+    def update(self, batch: pa.Table, flat_view=None) -> "PartialStats":
+        """``flat_view``: optional pre-flattened (lengths, flat) of
+        ``spec.list_col`` for this exact batch (the evaluator's per-batch
+        cache) — skips a second 17 MB flatten."""
         spec = self.spec
         n = len(batch)
         self.n_rows += n
@@ -74,15 +77,18 @@ class PartialStats:
                 self.hll.add_array(ids.combine_chunks())
 
         if spec.list_col and spec.list_col in batch.column_names:
-            col = batch.column(spec.list_col).combine_chunks()
-            lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
-                zero_copy_only=False
-            )  # int32, one small copy
             # flattened tokens stay in their NATIVE int32: every widening or
             # float temporary here is a 17-35 MB allocation per batch, and 32
             # concurrent actors turn that into a memory-bandwidth wall (this
             # section measured 48 s of a 62 s eval phase before the rewrite)
-            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if flat_view is not None:
+                lengths, flat = flat_view
+            else:
+                col = batch.column(spec.list_col).combine_chunks()
+                lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                    zero_copy_only=False
+                )  # int32, one small copy
+                flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
             if len(flat):
                 fmin, fmax = float(flat.min()), float(flat.max())
                 if self.list_minmax is None:

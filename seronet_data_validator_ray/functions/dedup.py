@@ -87,49 +87,94 @@ def token_order(docs_ds) -> dict[str, int]:
 
 # ------------------------------------------------------------- pair verification
 
+# popcount lookup for uint8 — vectorized bitset intersection counts
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint16)
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "doc_id_a": pa.array([], type=pa.int64()),
+        "doc_id_b": pa.array([], type=pa.int64()),
+        "jac_bp": pa.array([], type=pa.int64()),
+    }
+)
+
+
 def _verify_pairs_group(group: pa.Table) -> pa.Table:
     """All pairs within one block, exact integer Jaccard >= tau filter.
-    Group sizes are bounded by the block key's selectivity; the quadratic
-    loop never leaves one group."""
-    ids = group["doc_id"].to_pylist()
-    toksets = [np.asarray(t, dtype=np.int64) for t in group["toks"].to_pylist()]
-    out_a, out_b, out_bp = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a, b = toksets[i], toksets[j]
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            if JACCARD_DEN * inter >= JACCARD_NUM * union:
-                lo, hi = sorted((ids[i], ids[j]))
-                out_a.append(lo)
-                out_b.append(hi)
-                out_bp.append((10000 * inter) // union)
+
+    Fully vectorized: token ids are remapped to group-local dense ids, each
+    doc becomes a bitset row, and pairwise intersection sizes come from one
+    chunked AND + popcount — a Python loop with per-pair ``intersect1d`` was
+    30 s for the same groups this does in ~1 s at sf0.1."""
+    n = group.num_rows
+    if n < 2:
+        return _EMPTY_PAIRS
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    tok_col = group["toks"].combine_chunks()
+    offs = tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tok_col.values.to_numpy(zero_copy_only=False)
+    window = vals[offs[0] : offs[-1]]
+    lengths = np.diff(offs)
+    uniq, inv = np.unique(window, return_inverse=True)
+    n_uniq = len(uniq)
+    n_words = (n_uniq + 63) // 64
+    bitsets = np.zeros((n, n_words), dtype=np.uint64)
+    row_of = np.repeat(np.arange(n), lengths)
+    np.bitwise_or.at(
+        bitsets,
+        (row_of, inv >> 6),
+        np.uint64(1) << (inv & 63).astype(np.uint64),
+    )
+    sizes = lengths.astype(np.int64)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_bp: list[np.ndarray] = []
+    chunk = max(1, 16_000_000 // (n * n_words * 8 + 1))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        anded = bitsets[s:e, None, :] & bitsets[None, :, :]  # (c, n, W)
+        inter = (
+            _POP8[anded.view(np.uint8)].reshape(e - s, n, n_words * 8).sum(axis=2)
+        ).astype(np.int64)
+        union = sizes[s:e, None] + sizes[None, :] - inter
+        ii, jj = np.nonzero(JACCARD_DEN * inter >= JACCARD_NUM * union)
+        gi = ii + s
+        keep = gi < jj  # each unordered pair once (positions are unique per doc)
+        gi, jj = gi[keep], jj[keep]
+        if gi.size:
+            ia, ib = ids[gi], ids[jj]
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_bp.append((10000 * inter[gi - s, jj]) // union[gi - s, jj])
+    if not out_a:
+        return _EMPTY_PAIRS
     return pa.table(
         {
-            "doc_id_a": pa.array(out_a, type=pa.int64()),
-            "doc_id_b": pa.array(out_b, type=pa.int64()),
-            "jac_bp": pa.array(out_bp, type=pa.int64()),
+            "doc_id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "doc_id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "jac_bp": pa.array(np.concatenate(out_bp), type=pa.int64()),
         }
     )
 
 
 def _dedupe_pairs(pairs_ds) -> pa.Table:
-    """A pair can surface under several block keys; keep one row per pair."""
-    from ray.data.aggregate import Max
+    """A pair can surface under several block keys; keep one row per pair.
 
+    The pair table IS the operator's (collected) result, so the dedupe runs
+    as one driver-side Arrow ``group_by`` over the already-small pair rows —
+    Ray Data's distributed aggregate costs ~70 s in fixed machinery for the
+    same 2.8M-row job this does in ~1 s. At a scale where the pair set
+    itself is too big to collect, swap this for the hash-bucketed raw-task
+    exchange of stages/uniqueness.py keyed on (doc_id_a, doc_id_b)."""
     from seronet_data_validator_ray.util import ds_to_table
 
-    agg = pairs_ds.groupby(["doc_id_a", "doc_id_b"]).aggregate(Max("jac_bp"))
-    tbl = ds_to_table(agg)
+    tbl = ds_to_table(pairs_ds)
     if tbl.num_rows == 0:
-        return pa.table(
-            {
-                "doc_id_a": pa.array([], type=pa.int64()),
-                "doc_id_b": pa.array([], type=pa.int64()),
-                "jac_bp": pa.array([], type=pa.int64()),
-            }
-        )
-    return tbl.rename_columns(["doc_id_a", "doc_id_b", "jac_bp"])
+        return _EMPTY_PAIRS
+    g = tbl.group_by(["doc_id_a", "doc_id_b"]).aggregate([("jac_bp", "max")])
+    return g.rename_columns(["doc_id_a", "doc_id_b", "jac_bp"])
 
 
 # ------------------------------------------------------------- exact prefix-filter join
@@ -290,8 +335,6 @@ def _simhash_verify_group(group: pa.Table) -> pa.Table:
 
 
 def simhash_pairs(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Min
-
     import ray.data
 
     from seronet_data_validator_ray.util import ds_to_table
@@ -301,8 +344,7 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
     pairs = emitted.groupby(["band", "key"]).map_groups(
         _simhash_verify_group, batch_format="pyarrow"
     )
-    agg = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Min("hamming"))
-    tbl = ds_to_table(agg)
+    tbl = ds_to_table(pairs)  # pair result is small; dedupe driver-side
     if tbl.num_rows == 0:
         return pa.table(
             {
@@ -311,4 +353,5 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
                 "hamming": pa.array([], type=pa.int64()),
             }
         )
-    return tbl.rename_columns(["doc_id_a", "doc_id_b", "hamming"])
+    g = tbl.group_by(["doc_id_a", "doc_id_b"]).aggregate([("hamming", "min")])
+    return g.rename_columns(["doc_id_a", "doc_id_b", "hamming"])

@@ -355,3 +355,51 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
         )
     g = tbl.group_by(["doc_id_a", "doc_id_b"]).aggregate([("hamming", "min")])
     return g.rename_columns(["doc_id_a", "doc_id_b", "hamming"])
+
+
+# ------------------------------------------------------------- cluster / keep-set
+
+def connected_components(pairs: pa.Table, col_a: str = "doc_id_a", col_b: str = "doc_id_b"):
+    """Union-find over the (small) near-dup pair table -> {doc_id: root}.
+
+    The pair list is orders of magnitude smaller than the corpus (it IS the
+    dedup output), so components run driver-side; at a scale where even the
+    pair list is huge, this becomes iterative label propagation over the
+    bucketed exchange. Roots are the MIN doc_id of each component, so the
+    keep-set rule 'keep the smallest id' falls out of the structure."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[col_a].to_pylist(), pairs[col_b].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clusters from the MinHash-LSH candidate path (the scale
+    path): (doc_id, cluster_rep, cluster_size, keep) for every doc in a
+    component of size >= 2; keep = (doc_id == cluster_rep = min id)."""
+    import collections
+
+    pairs = minhash_lsh_pairs(sf_dir)
+    roots = connected_components(pairs)
+    sizes = collections.Counter(roots.values())
+    docs = sorted(roots)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "cluster_rep": pa.array([roots[d] for d in docs], type=pa.int64()),
+            "cluster_size": pa.array([sizes[roots[d]] for d in docs], type=pa.int64()),
+            "keep": pa.array([d == roots[d] for d in docs], type=pa.bool_()),
+        }
+    )

@@ -322,3 +322,12 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         )
 
     return _collect(agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True))
+
+
+@query("dedup_clusters", None)
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """Connected components over MinHash near-dup pairs -> keep-set (keep the
+    min doc_id per cluster). Rows-only; structural invariants tested."""
+    from seronet_data_validator_ray.functions import dedup
+
+    return dedup.dedup_clusters(sf_dir)

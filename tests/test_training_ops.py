@@ -95,3 +95,22 @@ def test_media_plumbing_roundtrip(ray_session):
     # the real-codec seam is an explicit stub
     with pytest.raises(NotImplementedError):
         media.MediaDecoder(real=True)
+
+
+def test_dedup_clusters_structure(ray_session):
+    from seronet_data_validator_ray.functions import dedup
+
+    clusters = dedup.dedup_clusters(SF).to_pandas()
+    pairs = dedup.minhash_lsh_pairs(SF).to_pandas()
+    # every paired doc appears; reps are component minima; one keep per cluster
+    paired = set(pairs.doc_id_a) | set(pairs.doc_id_b)
+    assert set(clusters.doc_id) == paired
+    assert (clusters.cluster_size >= 2).all()
+    byrep = clusters.groupby("cluster_rep")
+    assert (byrep["keep"].sum() == 1).all()
+    for rep, g in byrep:
+        assert rep == g.doc_id.min()
+        assert len(g) == g.cluster_size.iloc[0]
+    # pair endpoints always share a cluster
+    rep_of = dict(zip(clusters.doc_id, clusters.cluster_rep))
+    assert all(rep_of[a] == rep_of[b] for a, b in zip(pairs.doc_id_a, pairs.doc_id_b))

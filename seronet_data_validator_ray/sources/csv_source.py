@@ -33,7 +33,10 @@ _FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 def _all_match(col, pattern: str, nonempty) -> bool:
     m = pc.match_substring_regex(col, pattern)
     ok = pc.or_(pc.invert(nonempty), pc.fill_null(m, False))
-    return bool(pc.all(ok).as_py())
+    res = pc.all(ok).as_py()
+    # all() over an EMPTY block is null — an empty block carries no typing
+    # evidence and must stay vacuously true, not poison the global AND
+    return True if res is None else bool(res)
 
 
 def type_verdict_batch(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the pure kernels: sketch merge
+laws, CSV dynamic-typing decisions, rule-kernel masks vs brute force.
+No Ray needed — these are the per-batch building blocks."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SET = dict(deadline=None, max_examples=30)
+
+
+@settings(**SET)
+@given(
+    a=st.lists(st.integers(0, 10_000), min_size=0, max_size=500),
+    b=st.lists(st.integers(0, 10_000), min_size=0, max_size=500),
+)
+def test_hll_merge_equals_add_all(a, b):
+    from seronet_data_validator_ray.sketches import HyperLogLog
+
+    h1 = HyperLogLog(p=12).add_array(np.array(a, dtype=np.int64))
+    h2 = HyperLogLog(p=12).add_array(np.array(b, dtype=np.int64))
+    merged = h1.merge(h2)
+    both = HyperLogLog(p=12).add_array(np.array(a + b, dtype=np.int64))
+    assert merged.estimate() == both.estimate()
+    true = len(set(a) | set(b))
+    if true >= 10:
+        assert abs(merged.estimate() - true) / true < 0.15
+
+
+@settings(**SET)
+@given(
+    a=st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+    b=st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+    q=st.floats(0.01, 0.99),
+)
+def test_tdigest_quantile_bounds(a, b, q):
+    from seronet_data_validator_ray.sketches import TDigest
+
+    td = TDigest().add_array(np.array(a))
+    td.merge(TDigest().add_array(np.array(b)))
+    allv = np.sort(np.array(a + b))
+    est = td.quantile(q)
+    # estimate must lie within the data range and within a loose rank window
+    assert allv[0] <= est <= allv[-1]
+    # est's plausible rank interval (ties make a point-rank ill-defined)
+    rank_lo = np.searchsorted(allv, est, side="left") / len(allv)
+    rank_hi = np.searchsorted(allv, est, side="right") / len(allv)
+    assert rank_lo - 0.25 <= q <= rank_hi + 0.25
+
+
+@settings(**SET)
+@given(
+    vals=st.lists(st.integers(-100, 4200), min_size=0, max_size=300),
+    lo=st.integers(0, 10),
+    hi=st.integers(100, 4096),
+)
+def test_k_range_matches_bruteforce(vals, lo, hi):
+    from seronet_data_validator_ray.rules.kernels import evaluate_kernel
+
+    tbl = pa.table({"n_tok": pa.array(vals, type=pa.int32())})
+    mask, _ = evaluate_kernel(tbl, "range", "n_tok", {"lo": lo, "hi": hi}, {})
+    want = np.array([v < lo or v > hi for v in vals], dtype=bool)
+    assert (np.asarray(mask) == want).all()
+
+
+_INTS = st.integers(-10**6, 10**6).map(str)
+_FLOATS = st.floats(-1e6, 1e6, allow_nan=False).map(lambda f: f"{f:.4f}")
+_DATES = st.dates().map(lambda d: d.isoformat())
+_WORDS = st.text(alphabet="abcdefgh", min_size=1, max_size=8)
+
+
+@settings(**SET)
+@given(
+    kind=st.sampled_from(["int", "float", "date", "word"]),
+    n=st.integers(1, 30),
+    blanks=st.integers(0, 5),
+    data=st.data(),
+)
+def test_csv_type_decision_properties(kind, n, blanks, data):
+    from seronet_data_validator_ray.sources.csv_source import (
+        cast_batch,
+        decide_types,
+        type_verdict_batch,
+    )
+
+    strat = {"int": _INTS, "float": _FLOATS, "date": _DATES, "word": _WORDS}[kind]
+    vals = [data.draw(strat) for _ in range(n)] + [""] * blanks
+    tbl = pa.table({"c": pa.array(vals, type=pa.string())})
+    decided = decide_types(type_verdict_batch(tbl))
+    out = cast_batch(tbl, decided)["c"]
+    if kind == "int":
+        assert decided["c"] == pa.int64()
+        assert out.null_count == blanks
+    elif kind == "float":
+        assert decided["c"] in (pa.float64(), pa.int64())  # "3.0000" w/o dot impossible; ok
+    elif kind == "date":
+        assert pa.types.is_timestamp(decided["c"])
+    else:
+        # words: stays string unless every word accidentally matches a number
+        assert decided["c"] == pa.string()
+    # splitting the column into two batches must reach the same decision
+    half = len(vals) // 2
+    t1 = pa.table({"c": pa.array(vals[:half], type=pa.string())})
+    t2 = pa.table({"c": pa.array(vals[half:], type=pa.string())})
+    v = pa.concat_tables([type_verdict_batch(t1), type_verdict_batch(t2)])
+    assert decide_types(v) == decided
+
+
+@settings(**SET)
+@given(
+    groups=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.lists(st.integers(0, 999), min_size=1, max_size=50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stats_histogram_matches_numpy(groups):
+    from seronet_data_validator_ray.stages.stats import PartialStats, StatsSpec
+
+    spec = StatsSpec(list_col="tokens", group_col="source", list_hist=(0, 1000, 16),
+                     len_hist=(1, 64, 8))
+    tbl = pa.table(
+        {
+            "source": pa.array([g for g, _ in groups], type=pa.string()),
+            "tokens": pa.array([t for _, t in groups], type=pa.list_(pa.int32())),
+        }
+    )
+    ps = PartialStats(spec).update(tbl)
+    for src in {g for g, _ in groups}:
+        toks = np.concatenate([t for g, t in groups if g == src]).astype(np.int64)
+        want = np.bincount(np.clip(toks * 16 // 1000, 0, 15), minlength=16)
+        got = ps.group_list_hist[src].counts
+        assert (got == want).all(), (src, got, want)

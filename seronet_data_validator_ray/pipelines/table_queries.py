@@ -122,15 +122,25 @@ def dup_lineitem_orderkeys(sf_dir: str) -> pa.Table:
     "customers_without_orders",
     """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """,
 )
 def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Broadcast anti-join (J2/J6): customers with no HIGH-VALUE order — the
+    right side is filtered so the result is non-empty on the synthetic data
+    (an empty anti-join would hash-match trivially and prove nothing)."""
     import ray
 
     from seronet_data_validator_ray.functions.joins import SemiAntiFilter
 
-    custkeys = _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    def big_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], 400000.0)).select(["o_custkey"])
+
+    custkeys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(big_only, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("o_custkey")
+    )
     keys_ref = ray.put(list(custkeys))
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
         SemiAntiFilter,
@@ -147,23 +157,31 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
     "reconcile_part_lineitem",
     """
 SELECT CAST(p_partkey AS VARCHAR) AS key_value, 'left_only' AS present_in
-FROM (SELECT DISTINCT p_partkey FROM part
-      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+FROM (SELECT DISTINCT p_partkey FROM part WHERE p_size > 40)
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
 UNION ALL
 SELECT CAST(l_partkey AS VARCHAR), 'right_only'
-FROM (SELECT DISTINCT l_partkey FROM lineitem
-      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+FROM (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45)
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 40)
 """,
 )
 def reconcile_part_lineitem(sf_dir: str) -> pa.Table:
+    """Symmetric full-outer reconciliation (J3/J5) between two filtered key
+    projections — filters chosen so BOTH mismatch directions are non-empty
+    on the synthetic data (both-empty would hash-match trivially)."""
     from seronet_data_validator_ray.functions.joins import reconcile_keys
 
-    return reconcile_keys(
-        _read(sf_dir, "part", columns=["p_partkey"]),
-        _read(sf_dir, "lineitem", columns=["l_partkey"]),
-        "p_partkey",
-        "l_partkey",
+    left = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda b: b.filter(pc.greater(b["p_size"], 40)).select(["p_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    right = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater(b["l_quantity"], 45.0)).select(["l_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return reconcile_keys(left, right, "p_partkey", "l_partkey")
 
 
 # --------------------------------------------------------------- broadcast join (J1)

@@ -598,3 +598,84 @@ def order_total_consistency(sf_dir: str) -> pa.Table:
         )
 
     return _ds_table(joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# --------------------------------------------------------------- rule kernels M7/M10/M13/M15
+
+_PART_RULES_SQL = """
+SELECT 'p_name.len' AS rule_id, CAST(p_partkey AS VARCHAR) AS doc_id, 'p_name' AS column_name,
+       p_name AS observed, 'Warning' AS severity
+FROM part WHERE length(p_name) > 10
+UNION ALL
+SELECT 'p_type.interp', CAST(p_partkey AS VARCHAR), 'p_type', p_type, 'Error'
+FROM part WHERE NOT (contains(lower(p_type), 'economy') OR contains(lower(p_type), 'small')
+                     OR contains(lower(p_type), 'promo'))
+UNION ALL
+SELECT 'p_type.in_name', CAST(p_partkey AS VARCHAR), 'p_type', p_type, 'Warning'
+FROM part WHERE NOT contains(p_name, p_type)
+"""
+
+
+@query("part_rules", _PART_RULES_SQL)
+def part_rules(sf_dir: str) -> pa.Table:
+    """String-quality rule kernels on `part`: str_len_range (M7),
+    contains_any (M10 check_interpertation), substr_of (M13 hierarchical
+    containment) — through the same fused evaluator as every other rule."""
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.spec import RuleSet, RuleSpec
+
+    rules = RuleSet(
+        name="part",
+        key_column="p_partkey",
+        rules=[
+            RuleSpec(
+                "p_name.len", "p_name", "str_len_range", {"lo": 1, "hi": 10},
+                severity="Warning", message="p_name length outside [1, 10]",
+            ),
+            RuleSpec(
+                "p_type.interp", "p_type", "contains_any",
+                {"values": ["economy", "small", "promo"]},
+                message="p_type matches no allowed interpretation",
+            ),
+            RuleSpec(
+                "p_type.in_name", "p_type", "substr_of", {"other": "p_name"},
+                severity="Warning", message="p_type not nested in p_name",
+            ),
+        ],
+    )
+    res = validate(sf_dir, rules, file_glob="part.parquet")
+    v = res.violations
+    out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
+    return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
+
+
+_LINEITEM_CMP_SQL = """
+SELECT 'l_discount.le_tax' AS rule_id,
+       CAST(l_orderkey AS VARCHAR) AS doc_id, 'l_discount' AS column_name,
+       CAST(l_discount AS VARCHAR) AS observed, 'Error' AS severity
+FROM lineitem WHERE NOT (l_discount <= l_tax)
+"""
+
+
+@query("lineitem_cmp_rules", _LINEITEM_CMP_SQL)
+def lineitem_cmp_rules(sf_dir: str) -> pa.Table:
+    """Cross-column comparison kernel (M15/M16 compare_total_to_live family):
+    l_discount <= l_tax as a col_cmp rule."""
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.spec import RuleSet, RuleSpec
+
+    rules = RuleSet(
+        name="lineitem",
+        key_column="l_orderkey",
+        rules=[
+            RuleSpec(
+                "l_discount.le_tax", "l_discount", "col_cmp",
+                {"other": "l_tax", "op": "le"},
+                message="discount exceeds tax",
+            ),
+        ],
+    )
+    res = validate(sf_dir, rules, file_glob="lineitem.parquet")
+    v = res.violations
+    out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
+    return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])

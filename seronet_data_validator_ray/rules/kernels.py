@@ -24,7 +24,12 @@ import pyarrow.compute as pc
 
 
 def _col(table: pa.Table, name: str) -> pa.Array:
-    return table.column(name).combine_chunks()
+    col = table.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)  # zero-copy — combine_chunks would copy
+        return col.combine_chunks()
+    return col
 
 
 def _to_bool(mask) -> np.ndarray:
@@ -120,7 +125,7 @@ def flat_list_view(table, column, ctx):
     cache = ctx.get("__flat_cache__") if isinstance(ctx, dict) else None
     if cache is not None and column in cache:
         return cache[column]
-    col = table.column(column).combine_chunks()
+    col = _col(table, column)
     if isinstance(col, pa.ListArray):
         # ZERO-copy: a ListArray's values ARE the flat buffer; offsets are
         # absolute into it even for sliced arrays, and a null row repeats

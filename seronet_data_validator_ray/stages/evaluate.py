@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from seronet_data_validator_ray.rules.kernels import evaluate_kernel
+from seronet_data_validator_ray.rules.kernels import _col, evaluate_kernel
 from seronet_data_validator_ray.rules.spec import RuleSpec, Severity
 from seronet_data_validator_ray.stages.stats import PartialStats, StatsSpec
 
@@ -122,11 +122,11 @@ class RuleEvaluator:
     def _provenance(self, batch: pa.Table):
         n = len(batch)
         if "partition" in batch.column_names:
-            part = batch.column("partition").combine_chunks()
+            part = _col(batch, "partition")
         else:
             part = pa.array([self.ctx.get("default_partition", "")] * n)
         if "row_index" in batch.column_names:
-            ridx = batch.column("row_index").combine_chunks()
+            ridx = _col(batch, "row_index")
         else:
             ridx = pa.array(np.full(n, -1, dtype=np.int64))
         return part, ridx
@@ -141,7 +141,7 @@ class RuleEvaluator:
         elif observed is not None:
             obs = _string_take(observed, idx)
         elif spec.column in batch.column_names:
-            obs = _string_take(batch.column(spec.column).combine_chunks(), idx)
+            obs = _string_take(_col(batch, spec.column), idx)
         else:
             obs = pa.array([""] * len(idx), type=pa.string())
         msg = spec.describe() if severity != Severity.NOT_VALIDATED else (
@@ -173,7 +173,7 @@ class RuleEvaluator:
         self.ctx["__flat_cache__"] = {}
         part, ridx = self._provenance(batch)
         if self.key_column and self.key_column in batch.column_names:
-            key = batch.column(self.key_column).combine_chunks()
+            key = _col(batch, self.key_column)
             if not pa.types.is_string(key.type):
                 key = pc.cast(key, pa.string())
         else:

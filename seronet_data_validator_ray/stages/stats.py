@@ -84,7 +84,8 @@ class PartialStats:
             if flat_view is not None:
                 lengths, flat = flat_view
             else:
-                col = batch.column(spec.list_col).combine_chunks()
+                col = batch.column(spec.list_col)
+                col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
                 lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
                     zero_copy_only=False
                 )  # int32, one small copy

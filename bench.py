@@ -127,6 +127,7 @@ QUERY_NAMES = [
     "dedup_jaccard_pairs",
     "knn_brute_force",
     "text_quality",
+    "events_asof_join",
 ]
 
 

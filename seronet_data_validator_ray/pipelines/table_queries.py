@@ -679,3 +679,76 @@ def lineitem_cmp_rules(sf_dir: str) -> pa.Table:
     v = res.violations
     out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
     return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
+
+
+# --------------------------------------------------------------- as-of join (custom operator)
+
+_ASOF_SQL = """
+SELECT p.event_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("events_asof_join", _ASOF_SQL)
+def events_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join — an operator Ray Data lacks, composed per the custom-op
+    recipe (SURVEY task list): hash-partition both sides by the key in ONE
+    groupby(user) shuffle, then a vectorized sorted searchsorted merge per
+    group. Each 'purchase' matches the latest 'click' by the same user at or
+    before its timestamp (inner: unmatched purchases drop).
+
+    Partitioning assumption: all events of one user fit one group (true for
+    per-user event streams; salt by time range if a key is pathological)."""
+    import numpy as np
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], pa.array(["purchase", "click"]))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    def asof_group(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_p = et == "purchase"
+        is_c = et == "click"
+        if not is_p.any() or not is_c.any():
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                    "click_id": pa.array([], type=pa.int64()),
+                    "click_ts_us": pa.array([], type=pa.int64()),
+                }
+            )
+        c_order = np.argsort(ts[is_c], kind="stable")
+        c_ts = ts[is_c][c_order]
+        c_id = eid[is_c][c_order]
+        p_ts, p_id = ts[is_p], eid[is_p]
+        pos = np.searchsorted(c_ts, p_ts, side="right") - 1
+        ok = pos >= 0
+        return pa.table(
+            {
+                "event_id": pa.array(p_id[ok], type=pa.int64()),
+                "ts_us": pa.array(p_ts[ok], type=pa.int64()),
+                "click_id": pa.array(c_id[pos[ok]], type=pa.int64()),
+                "click_ts_us": pa.array(c_ts[pos[ok]], type=pa.int64()),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(asof_group, batch_format="pyarrow")
+    )
+    return _ds_table(ds)

@@ -304,28 +304,31 @@ GROUP BY 1, 2
 """,
 )
 def seq_token_hist(sf_dir: str) -> pa.Table:
-    import ray
-    from ray.data.aggregate import Sum
-
     from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
 
     d = ensure_seq(sf_dir)
     plan = plan_read(d, SEQUENCES_SCHEMA)
 
     def partial_hist(batch: pa.Table) -> pa.Table:
-        col = batch.column("tokens").combine_chunks()
-        lengths = np.asarray(
-            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        )
-        flat = np.asarray(pc.list_flatten(col).to_numpy(zero_copy_only=False), dtype=np.float64)
+        from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+        # zero-copy int32 flatten + integer binning (identical to the SQL
+        # floor(x*64/50257): exact because 64x/VOCAB never lands within f64
+        # rounding error of an integer for 0 < x < VOCAB)
+        lengths, flat = flat_list_view(batch, "tokens", {})
+        bins = flat.astype(np.int32, copy=True)
+        np.multiply(bins, np.int32(_NBINS), out=bins)
+        np.floor_divide(bins, np.int32(VOCAB), out=bins)
+        np.clip(bins, 0, _NBINS - 1, out=bins)
         src = batch.column("source").to_numpy(zero_copy_only=False)
         uniq, gidx = np.unique(np.asarray(src, dtype=object), return_inverse=True)
-        bins = np.clip(np.floor(flat * _NBINS / VOCAB), 0, _NBINS - 1).astype(np.int64)
-        parent = np.repeat(gidx, lengths)
-        combo = np.bincount(parent * _NBINS + bins, minlength=len(uniq) * _NBINS).reshape(
-            len(uniq), _NBINS
-        )
+        if len(uniq) == 1:
+            combo = np.bincount(bins, minlength=_NBINS)[None, :]
+        else:
+            parent = np.repeat(gidx, lengths)
+            combo = np.bincount(parent * _NBINS + bins, minlength=len(uniq) * _NBINS).reshape(
+                len(uniq), _NBINS
+            )
         rows_src, rows_bin, rows_n = [], [], []
         for k, s in enumerate(uniq):
             nz = np.nonzero(combo[k])[0]
@@ -340,15 +343,17 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = (
-        read_with_provenance(plan.work_items(), columns=["tokens", "source"], yield_rows=8192)
-        .map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["source", "bin"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    ds = read_with_provenance(
+        plan.work_items(), columns=["tokens", "source"], yield_rows=8192
+    ).map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # partials are <= n_sources * 64 rows per block: merge with one
+    # driver-side Arrow group_by (Ray's distributed aggregate has a fixed
+    # machinery cost that dwarfs this tiny payload — see BASELINE.md)
     from seronet_data_validator_ray.util import ds_to_table
 
-    return ds_to_table(ds).select(["source", "bin", "n"])
+    partials = ds_to_table(ds)
+    g = partials.group_by(["source", "bin"]).aggregate([("n", "sum")])
+    return g.rename_columns(["source", "bin", "n"]).select(["source", "bin", "n"])
 
 
 def format_sql(name: str, sf_dir: str) -> str | None:

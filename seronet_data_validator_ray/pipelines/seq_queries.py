@@ -187,9 +187,6 @@ FROM seq GROUP BY source
 """,
 )
 def seq_verdict_by_source(sf_dir: str) -> pa.Table:
-    import ray
-    from ray.data.aggregate import Count, Sum
-
     from seronet_data_validator_ray.rules.builtin import sequences_rules
     from seronet_data_validator_ray.rules.kernels import evaluate_kernel
     from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
@@ -199,18 +196,29 @@ def seq_verdict_by_source(sf_dir: str) -> pa.Table:
     rules = [r for r in sequences_rules().row_local()]
 
     def prep(batch: pa.Table) -> pa.Table:
+        # per-batch evaluation sharing the flat-tokens cache via ctx
+        bctx = dict(ctx)
+        bctx["__flat_cache__"] = {}
         bad = np.zeros(len(batch), dtype=bool)
         for spec in rules:
-            mask, _ = evaluate_kernel(batch, spec.kind, spec.column, spec.params, ctx)
+            mask, _ = evaluate_kernel(batch, spec.kind, spec.column, spec.params, bctx)
             if spec.dependency is not None:
                 dk, dc, dp = spec.dependency
-                dep_fail, _ = evaluate_kernel(batch, dk, dc, dp, ctx)
+                dep_fail, _ = evaluate_kernel(batch, dk, dc, dp, bctx)
                 mask = mask & ~dep_fail
             bad |= mask
+        # COMBINER: one partial row per source per batch (pre-aggregation
+        # before the merge — never ship a row per input row)
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
+        src = np.where([s is None for s in src], "", src)
+        uniq, gidx = np.unique(src, return_inverse=True)
+        n_rows = np.bincount(gidx, minlength=len(uniq))
+        n_bad = np.bincount(gidx, weights=bad.astype(np.float64), minlength=len(uniq))
         return pa.table(
             {
-                "source": batch["source"],
-                "bad": pa.array(bad.astype(np.int64)),
+                "source": pa.array([str(s) for s in uniq], type=pa.string()),
+                "n_rows": pa.array(n_rows, type=pa.int64()),
+                "n_bad_rows": pa.array(n_bad.astype(np.int64), type=pa.int64()),
             }
         )
 
@@ -218,14 +226,14 @@ def seq_verdict_by_source(sf_dir: str) -> pa.Table:
     ds = read_with_provenance(
         plan.work_items(), columns=["doc_id", "tokens", "n_tok", "source"], yield_rows=8192
     )
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("source")
-        .aggregate(Count(alias_name="n_rows"), Sum("bad", alias_name="n_bad_rows"))
-    )
+    partials = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from seronet_data_validator_ray.util import ds_to_table
 
-    return ds_to_table(out).select(["source", "n_rows", "n_bad_rows"])
+    tbl = ds_to_table(partials)
+    g = tbl.group_by("source").aggregate([("n_rows", "sum"), ("n_bad_rows", "sum")])
+    return g.rename_columns(["source", "n_rows", "n_bad_rows"]).select(
+        ["source", "n_rows", "n_bad_rows"]
+    )
 
 
 # ----------------------------------------------------------------- per-source stats

@@ -249,49 +249,73 @@ FROM seq GROUP BY source
 """,
 )
 def seq_stats_by_source(sf_dir: str) -> pa.Table:
-    import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    """Per-source stats with per-batch COMBINERS: one partial row per
+    (source, batch) for the associative stats, plus within-batch-unique
+    (source, hash64(doc_id)) pairs for the exact distinct — the exact analog
+    of the HLL sketch the engine uses for the same stat at true scale, where
+    the distinct-pair merge would run through the bucketed exchange of
+    stages/uniqueness.py instead of a driver-side np.unique."""
+    from seronet_data_validator_ray.sketches import hash64
     from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+    from seronet_data_validator_ray.util import ds_to_table
 
     d = ensure_seq(sf_dir)
     plan = plan_read(d, SEQUENCES_SCHEMA)
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partials(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, gidx = np.unique(src, return_inverse=True)
+        n_rows = np.bincount(gidx, minlength=len(uniq))
+        sums = np.bincount(gidx, weights=n_tok.astype(np.float64), minlength=len(uniq))
+        mins = np.full(len(uniq), np.iinfo(np.int64).max)
+        maxs = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.minimum.at(mins, gidx, n_tok)
+        np.maximum.at(maxs, gidx, n_tok)
+        # distinct ids, hash-compacted and deduped within the batch
+        valid = pc.is_valid(batch["doc_id"]).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].filter(pa.array(valid))
+        h = hash64(ids)
+        gi = gidx[valid]
+        pair = np.unique(np.stack([gi.astype(np.uint64), h]), axis=1)
+        stats = pa.table(
             {
-                "source": batch["source"],
-                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
-                "doc_id": batch["doc_id"],
+                "kind": pa.array(["s"] * len(uniq), type=pa.string()),
+                "source": pa.array([str(s) for s in uniq], type=pa.string()),
+                "n_rows": pa.array(n_rows, type=pa.int64()),
+                "sum_n_tok": pa.array(sums.astype(np.int64), type=pa.int64()),
+                "min_n_tok": pa.array(mins, type=pa.int64()),
+                "max_n_tok": pa.array(maxs, type=pa.int64()),
+                "h": pa.array(np.zeros(len(uniq), dtype=np.uint64), type=pa.uint64()),
             }
         )
+        idrows = pa.table(
+            {
+                "kind": pa.array(["i"] * pair.shape[1], type=pa.string()),
+                "source": pa.array([str(uniq[int(g)]) for g in pair[0]], type=pa.string()),
+                "n_rows": pa.array(np.zeros(pair.shape[1], dtype=np.int64)),
+                "sum_n_tok": pa.array(np.zeros(pair.shape[1], dtype=np.int64)),
+                "min_n_tok": pa.array(np.zeros(pair.shape[1], dtype=np.int64)),
+                "max_n_tok": pa.array(np.zeros(pair.shape[1], dtype=np.int64)),
+                "h": pa.array(pair[1], type=pa.uint64()),
+            }
+        )
+        return pa.concat_tables([stats, idrows])
 
     ds = read_with_provenance(
         plan.work_items(), columns=["doc_id", "n_tok", "source"], yield_rows=65536
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    main = ds.groupby("source").aggregate(
-        Count(alias_name="n_rows"),
-        Sum("n_tok", alias_name="sum_n_tok"),
-        Min("n_tok", alias_name="min_n_tok"),
-        Max("n_tok", alias_name="max_n_tok"),
+    ).map_batches(partials, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    tbl = ds_to_table(ds)
+    s = tbl.filter(pc.equal(tbl["kind"], "s"))
+    g = s.group_by("source").aggregate(
+        [("n_rows", "sum"), ("sum_n_tok", "sum"), ("min_n_tok", "min"), ("max_n_tok", "max")]
+    ).rename_columns(["source", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok"])
+    i = tbl.filter(pc.equal(tbl["kind"], "i"))
+    iu = i.select(["source", "h"]).group_by(["source", "h"]).aggregate([])
+    n_ids = iu.group_by("source").aggregate([("h", "count")]).rename_columns(
+        ["source", "n_ids"]
     )
-    # exact distinct per group: two-phase distinct-pairs → count (the exact
-    # analog of the HLL sketch the engine uses for the same stat at scale);
-    # SQL count(DISTINCT) ignores NULLs, so drop them before grouping
-    ids = (
-        ds.map_batches(
-            lambda b: b.filter(pc.is_valid(b["doc_id"])), batch_format="pyarrow"
-        )
-        .groupby(["source", "doc_id"])
-        .count()
-        .groupby("source")
-        .aggregate(Count(alias_name="n_ids"))
-    )
-    from seronet_data_validator_ray.util import ds_to_table
-
-    t1 = ds_to_table(main)
-    t2 = ds_to_table(ids)
-    return t1.join(t2, keys="source").select(
+    return g.join(n_ids, keys="source").select(
         ["source", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok", "n_ids"]
     )
 

@@ -118,3 +118,46 @@ def media_features(sf_dir: str) -> pa.Table:
         concurrency=2,
     )
     return ds_to_table(feats)
+
+
+def sample_frames_batch(batch: pa.Table) -> pa.Table:
+    """Frame-sampling flat_map: one media row -> n_frames frame rows
+    (doc_id, frame_idx, frame_u). The fake 'frame' is a deterministic
+    digest of (body, frame_idx) — the real decoder slots into the same
+    row-expansion shape."""
+    ids, fidx, fu = [], [], []
+    for doc_id, payload in zip(
+        batch["doc_id"].to_numpy(zero_copy_only=False), batch["payload"].to_pylist()
+    ):
+        assert payload[:8] == _MAGIC
+        (_w, _h, frames) = struct.unpack("<III", payload[8:20])
+        body = payload[20:]
+        for k in range(frames):
+            ids.append(int(doc_id))
+            fidx.append(k)
+            fu.append(
+                int.from_bytes(
+                    hashlib.blake2b(body + bytes([k]), digest_size=8).digest(), "little"
+                ) & ((1 << 63) - 1)
+            )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "frame_u": pa.array(fu, type=pa.int64()),
+        }
+    )
+
+
+def media_frames(sf_dir: str) -> pa.Table:
+    """documents -> fake media -> frame sampling (row expansion)."""
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+    frames = media.map_batches(
+        sample_frames_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+    )
+    return ds_to_table(frames)

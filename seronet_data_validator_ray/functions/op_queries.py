@@ -331,3 +331,12 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.functions import dedup
 
     return dedup.dedup_clusters(sf_dir)
+
+
+@query("media_frames", None)
+def media_frames(sf_dir: str) -> pa.Table:
+    """Frame-sampling row expansion over the fake media column. Rows-only;
+    frame counts cross-checked against media_features in tests."""
+    from seronet_data_validator_ray.functions import media
+
+    return media.media_frames(sf_dir)

@@ -752,3 +752,67 @@ def events_asof_join(sf_dir: str) -> pa.Table:
         .map_groups(asof_group, batch_format="pyarrow")
     )
     return _ds_table(ds)
+
+
+# --------------------------------------------------------------- band join (custom operator)
+
+_BAND_SQL = """
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+FROM events a JOIN events b
+  ON a.event_id < b.event_id AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+"""
+
+
+@query("events_band_join", _BAND_SQL)
+def events_band_join(sf_dir: str) -> pa.Table:
+    """Band (range) join — pairs of events within 1 s of each other — via
+    time-bucket blocking: each event is emitted to its second-bucket AND the
+    next one, so any qualifying pair shares >=1 bucket (lossless); pairs
+    verify exactly inside groupby(bucket).map_groups and duplicates collapse
+    driver-side. The all-to-all is keyed on time buckets (bounded groups),
+    never a cross join."""
+    import numpy as np
+
+    BAND_US = 1_000_000
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        bucket = ts // BAND_US
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([bucket, bucket + 1]), type=pa.int64()),
+                "event_id": pa.array(np.concatenate([eid, eid]), type=pa.int64()),
+                "ts_us": pa.array(np.concatenate([ts, ts]), type=pa.int64()),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        # within-group unique events (an event can enter one bucket twice
+        # via both emissions only across groups, but be safe)
+        _, first = np.unique(eid, return_index=True)
+        ts, eid = ts[first], eid[first]
+        d = np.abs(ts[:, None] - ts[None, :])
+        ii, jj = np.nonzero((d <= BAND_US) & (eid[:, None] < eid[None, :]))
+        return pa.table(
+            {
+                "event_id_a": pa.array(eid[ii], type=pa.int64()),
+                "event_id_b": pa.array(eid[jj], type=pa.int64()),
+                "dt_us": pa.array(d[ii, jj], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, "events", columns=["event_id", "ts"])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    tbl = _ds_table(pairs)
+    if tbl.num_rows == 0:
+        return tbl
+    g = tbl.group_by(["event_id_a", "event_id_b"]).aggregate([("dt_us", "min")])
+    return g.rename_columns(["event_id_a", "event_id_b", "dt_us"])

@@ -224,6 +224,17 @@ def validate(
 
     # ---- waves of row-local validation (stage 1)
     columns = _needed_columns(ruleset, stats_spec)
+    if plan.good_files:
+        # fail FAST with a named error if a rule references a column no file
+        # has — otherwise the KeyError surfaces as an opaque mid-pipeline
+        # RayTaskError from inside a worker
+        available = set(pq.ParquetFile(plan.good_files[0].path).schema_arrow.names)
+        missing = [c for c in columns if c not in available]
+        if missing:
+            raise ValueError(
+                f"rule set {ruleset.name!r} references column(s) {missing} not present "
+                f"in the input (available: {sorted(available)})"
+            )
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     waves: list[list[FileMeta]] = []
     wave_files = pending_good

@@ -114,3 +114,18 @@ def test_dedup_clusters_structure(ray_session):
     # pair endpoints always share a cluster
     rep_of = dict(zip(clusters.doc_id, clusters.cluster_rep))
     assert all(rep_of[a] == rep_of[b] for a, b in zip(pairs.doc_id_a, pairs.doc_id_b))
+
+
+def test_media_frames_expansion(ray_session):
+    from seronet_data_validator_ray.functions import op_queries
+
+    feats = op_queries.media_features(SF).to_pandas()
+    frames = op_queries.media_frames(SF).to_pandas()
+    # row expansion: total frames == sum of per-doc n_frames
+    assert len(frames) == int(feats["n_frames"].sum())
+    per_doc = frames.groupby("doc_id").size()
+    merged = feats.set_index("doc_id")["n_frames"]
+    assert (per_doc == merged.loc[per_doc.index]).all()
+    # frame indices are 0..n-1 per doc and frame digests are distinct
+    assert (frames.groupby("doc_id")["frame_idx"].max() + 1 == per_doc).all()
+    assert frames["frame_u"].nunique() == len(frames)

@@ -340,3 +340,46 @@ def media_frames(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.functions import media
 
     return media.media_frames(sf_dir)
+
+
+# ------------------------------------------------------------------ embedding quantization
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id, CAST(floor(1000000 * maxabs) AS BIGINT) AS scale_u,
+       CAST(list_sum(list_transform(e, x -> round(127.0 * x / maxabs))) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(e, x -> abs(round(127.0 * x / maxabs)))) AS BIGINT) AS q_l1
+FROM m
+"""
+
+
+@query("embedding_quantize", _QUANTIZE_SQL)
+def embedding_quantize(sf_dir: str) -> pa.Table:
+    """Symmetric int8 quantization with per-vector scale (the standard
+    embedding-compression step before ANN index build): one vectorized f64
+    pass per batch; reported as integer scale + checksums so the DuckDB
+    oracle hash-matches (round = half-away-from-zero on BOTH engines)."""
+    import numpy as np
+
+    def quant(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(batch), -1)
+        maxabs = np.abs(mat).max(axis=1)
+        v = 127.0 * mat / maxabs[:, None]
+        q = np.sign(v) * np.floor(np.abs(v) + 0.5)  # half away from zero
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "scale_u": pa.array(np.floor(1e6 * maxabs).astype(np.int64), type=pa.int64()),
+                "q_sum": pa.array(q.sum(axis=1).astype(np.int64), type=pa.int64()),
+                "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _collect(ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True))

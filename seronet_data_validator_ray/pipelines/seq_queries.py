@@ -393,3 +393,74 @@ def format_sql(name: str, sf_dir: str) -> str | None:
     if sql is None:
         return None
     return sql.format(d=seq_dir_for(sf_dir))
+
+
+# ----------------------------------------------------------------- clean-split sink
+
+@query(
+    "seq_split_clean",
+    _CTE
+    + f"""
+SELECT source, CAST(SUM(CASE WHEN NOT {_BAD_ROW_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM seq GROUP BY source
+HAVING SUM(CASE WHEN NOT {_BAD_ROW_SQL} THEN 1 ELSE 0 END) > 0
+""",
+)
+def seq_split_clean(sf_dir: str) -> pa.Table:
+    """Quarantine split + resumable sink (K1/K4 family): stream the table
+    once, drop every row failing a row-local rule, and ``write_parquet`` the
+    clean rows PARTITIONED BY source (one directory per partition — a failed
+    run can skip finished partitions). The returned per-source counts come
+    from the WRITTEN files' footers, so the oracle match verifies the sink,
+    not just the filter."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+    from seronet_data_validator_ray.rules.kernels import evaluate_kernel
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    out_dir = d + "-cleanout"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ctx = {"allowed_sources": SOURCES}
+    rules = sequences_rules().row_local()
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        bctx = dict(ctx)
+        bctx["__flat_cache__"] = {}
+        bad = np.zeros(len(batch), dtype=bool)
+        for spec in rules:
+            mask, _ = evaluate_kernel(batch, spec.kind, spec.column, spec.params, bctx)
+            if spec.dependency is not None:
+                dk, dc, dp = spec.dependency
+                dep_fail, _ = evaluate_kernel(batch, dk, dc, dp, bctx)
+                mask = (mask & ~dep_fail) | dep_fail  # dependency-invalid rows are not clean
+            bad |= mask
+        return batch.select(["doc_id", "tokens", "n_tok", "source"]).filter(
+            pa.array(~bad)
+        )
+
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(
+        plan.work_items(), columns=["doc_id", "tokens", "n_tok", "source"], yield_rows=8192
+    ).map_batches(keep_clean, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    ds.write_parquet(out_dir, partition_cols=["source"])
+
+    # count what was actually WRITTEN, from the footers
+    rows: dict[str, int] = {}
+    for f in _glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+        src = ""
+        for part in f.split(os.sep):
+            if part.startswith("source="):
+                src = part.split("=", 1)[1]
+        rows[src] = rows.get(src, 0) + _pq.ParquetFile(f).metadata.num_rows
+    srcs = sorted(rows)
+    return pa.table(
+        {
+            "source": pa.array(srcs, type=pa.string()),
+            "n_clean": pa.array([rows[s] for s in srcs], type=pa.int64()),
+        }
+    )

@@ -383,3 +383,36 @@ def embedding_quantize(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return _collect(ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# ------------------------------------------------------------------ stratified sampling
+
+_STRATIFIED_SQL = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+@query("docs_stratified_sample", _STRATIFIED_SQL)
+def docs_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: first 5 doc_ids per language via
+    groupby(lang).map_groups — the per-group limit/sampling family
+    (SURVEY §2.7 notes the reference has none; a corpus pipeline needs it
+    for per-slice inspection sets)."""
+    import numpy as np
+
+    K = 5
+
+    def head_k(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False), kind="stable")[:K]
+        return g.take(pa.array(order)).select(["lang", "doc_id", "n_chars"])
+
+    ds = (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(head_k, batch_format="pyarrow")
+    )
+    return _collect(ds)

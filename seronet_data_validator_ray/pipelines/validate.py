@@ -255,8 +255,14 @@ def validate(
         }
         if eval_mode == "actors":
             # fixed-size actor pool (autoscaling from 1 ramps too slowly for a
-            # finite wave); sized to the smaller of CPUs and read tasks
-            conc = eval_concurrency or min(ncpu, max(2, len(items)))
+            # finite wave); sized to the smaller of CPUs, read tasks, and the
+            # work itself — each actor is a fresh process costing ~100ms to
+            # spawn, so a small wave must not pay for 32 of them (~64k rows
+            # of eval per actor amortizes the spawn)
+            wave_rows = sum(f.num_rows for f in wave)
+            conc = eval_concurrency or min(
+                ncpu, max(2, len(items)), max(2, wave_rows // 65536)
+            )
             outcome = ds.map_batches(
                 RuleEvaluator,
                 fn_constructor_kwargs=eval_kwargs,

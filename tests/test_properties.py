@@ -132,3 +132,61 @@ def test_stats_histogram_matches_numpy(groups):
         want = np.bincount(np.clip(toks * 16 // 1000, 0, 15), minlength=16)
         got = ps.group_list_hist[src].counts
         assert (got == want).all(), (src, got, want)
+
+
+@settings(**SET)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 3000), min_size=1, max_size=120),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_bitset_pair_verify_matches_bruteforce(docs):
+    """_verify_pairs_group's chunked bitset popcount vs naive set math —
+    exercises multi-word bitsets (>64 distinct tokens) and chunk edges."""
+    from seronet_data_validator_ray.functions import dedup
+
+    toks = [sorted(set(d)) for d in docs]
+    ids = list(range(100, 100 + len(docs)))
+    group = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "toks": pa.array(toks, type=pa.list_(pa.int64())),
+        }
+    )
+    got = dedup._verify_pairs_group(group).to_pandas()
+    got_set = {(a, b): j for a, b, j in zip(got.doc_id_a, got.doc_id_b, got.jac_bp)}
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = set(toks[i]), set(toks[j])
+            inter, union = len(a & b), len(a | b)
+            if dedup.JACCARD_DEN * inter >= dedup.JACCARD_NUM * union:
+                want[(ids[i], ids[j])] = (10000 * inter) // union
+    assert got_set == want
+
+
+@settings(**SET)
+@given(
+    lens=st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    seed=st.integers(0, 2**31 - 1),
+    rpf=st.integers(1, 7),
+)
+def test_datagen_gather_roundtrip(lens, seed, rpf, tmp_path_factory):
+    """_gather_tokens must reproduce each row's exact token slice regardless
+    of partitioning (the int32-offset-overflow fix path)."""
+    import numpy as np
+
+    from seronet_data_validator_ray.datagen import _gather_tokens
+
+    rng = np.random.default_rng(seed)
+    lengths = np.array(lens, dtype=np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = rng.integers(0, 1000, size=int(lengths.sum()), dtype=np.int32)
+    rows = rng.permutation(len(lens))[: max(1, len(lens) // 2)]
+    arr = _gather_tokens(np.sort(rows), lengths, offsets, values)
+    for out_i, r in enumerate(np.sort(rows)):
+        want = values[offsets[r] : offsets[r + 1]].tolist()
+        assert arr[out_i].as_py() == want

@@ -38,7 +38,10 @@ def tumbling_window(
             cols[g] = batch[g]
         if value_col is not None:
             cols["value_cents"] = pc.cast(
-                pc.round(pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0)),
+                pc.round(
+                    pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0),
+                    round_mode="half_towards_infinity",  # DuckDB round() parity
+                ),
                 pa.int64(),
             )
         return pa.table(cols)

@@ -44,7 +44,15 @@ def _ds_table(ds) -> pa.Table:
 
 
 def _cents(col, factor: float = 100.0) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), factor)), pa.int64())
+    # every DuckDB oracle uses round() = half-away-from-zero; pyarrow defaults
+    # to half-to-even, so pin the mode and the parity holds by construction
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(col, pa.float64()), factor),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
 
 
 # --------------------------------------------------------------- validation (documents)
@@ -815,4 +823,7 @@ def events_band_join(sf_dir: str) -> pa.Table:
     if tbl.num_rows == 0:
         return tbl
     g = tbl.group_by(["event_id_a", "event_id_b"]).aggregate([("dt_us", "min")])
-    return g.rename_columns(["event_id_a", "event_id_b", "dt_us"])
+    # rename by actual name, not position — pyarrow's key/aggregate column
+    # ordering is not contractual across versions
+    g = g.rename_columns([{"dt_us_min": "dt_us"}.get(c, c) for c in g.column_names])
+    return g.select(["event_id_a", "event_id_b", "dt_us"])

@@ -184,8 +184,13 @@ def validate(
     manifest = Manifest(output_dir) if output_dir else None
 
     all_parts = [f.partition for f in plan.files]
+    # input-file fingerprint (rows + mtime): a regenerated file with the same
+    # name is re-validated on resume instead of silently skipped
+    fingerprints = {
+        f.partition: f"{f.num_rows}:{os.stat(f.path).st_mtime_ns}" for f in plan.files
+    }
     if manifest and resume:
-        pending_set = set(manifest.pending(all_parts, rules_hash))
+        pending_set = set(manifest.pending(all_parts, rules_hash, fingerprints))
     else:
         pending_set = set(all_parts)
     pending_good = [f for f in plan.good_files if f.partition in pending_set]
@@ -207,6 +212,7 @@ def validate(
         viol_tables.append(gate_tbl)
         entries[meta.partition] = {
             "input_file": meta.path,
+            "input_fingerprint": fingerprints[meta.partition],
             "rows": meta.num_rows,
             "schema_ok": False,
             "schema_msg": meta.schema_msg,
@@ -327,6 +333,7 @@ def validate(
             )
             entries[meta.partition] = {
                 "input_file": meta.path,
+                "input_fingerprint": fingerprints[meta.partition],
                 "rows": meta.num_rows,
                 "schema_ok": True,
                 "rule_set_hash": rules_hash,
@@ -338,12 +345,23 @@ def validate(
             rows_validated += meta.num_rows
 
         if manifest:
-            out = os.path.join(
-                viol_dir, f"wave-{fileset_hash([m.partition for m in wave])}.parquet"
-            )
-            pq.write_table(wave_viol, out + ".tmp")
-            os.replace(out + ".tmp", out)
+            # ONE deterministic violations file per partition (sorted by row),
+            # written BEFORE that partition's manifest mark: a crash between
+            # write and mark re-validates the partition and OVERWRITES the same
+            # file, so the final concat never double-counts; ≙ per-partition
+            # output ordering of the reference error workbook (SURVEY §2.7 O1)
+            from seronet_data_validator_ray.state.manifest import _safe
+
             for meta in wave:
+                part_viol = wave_viol.filter(
+                    pc.equal(wave_viol["partition"], meta.partition)
+                ).sort_by([("row_index", "ascending"), ("rule_id", "ascending")])
+                out = os.path.join(viol_dir, f"rows-{_safe(meta.partition)}.parquet")
+                if len(part_viol):
+                    pq.write_table(part_viol, out + ".tmp")
+                    os.replace(out + ".tmp", out)
+                elif os.path.exists(out):
+                    os.remove(out)  # partition re-validated clean: drop stale rows
                 manifest.mark(
                     meta.partition, entries[meta.partition], stats_partial=partials.get(meta.partition)
                 )

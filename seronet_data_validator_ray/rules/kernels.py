@@ -177,7 +177,10 @@ def k_eq_len_of(table, column, params, ctx):
         length = pa.array(lengths).cast(col.type)
     else:
         length = pc.cast(pc.utf8_length(of), col.type)
-    fail = pc.not_equal(col, length)
+    # a null container column must NOT fail eq_len (flat_list_view reports a
+    # null row as length 0): missingness is the not_null rule's job, and the
+    # SQL oracle's `col <> len(of)` is NULL (no violation) for a null `of`
+    fail = pc.and_kleene(pc.not_equal(col, length), pc.is_valid(of))
     mask = _to_bool(fail)
     # observed strings only for the failing rows — building them for the
     # whole column costs three full-width allocations per batch

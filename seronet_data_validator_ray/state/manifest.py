@@ -63,13 +63,27 @@ class Manifest:
                 continue  # torn write → treated as not completed
         return out
 
-    def pending(self, partitions: list[str], rules_hash: str) -> list[str]:
+    def pending(
+        self,
+        partitions: list[str],
+        rules_hash: str,
+        fingerprints: dict[str, str] | None = None,
+    ) -> list[str]:
+        """Partitions needing (re)validation. A completed partition is skipped
+        only when BOTH its rule-set hash and its input-file fingerprint
+        (rows + mtime) match — a regenerated input with the same name must be
+        reprocessed, like the reference's updated-submission logic
+        (/root/reference/Data_Validation_v2.py:170-192)."""
         done = self.completed()
-        return [
-            p
-            for p in partitions
-            if p not in done or done[p].get("rule_set_hash") != rules_hash
-        ]
+        out = []
+        for p in partitions:
+            e = done.get(p)
+            if e is None or e.get("rule_set_hash") != rules_hash:
+                out.append(p)
+                continue
+            if fingerprints is not None and e.get("input_fingerprint") != fingerprints.get(p):
+                out.append(p)
+        return out
 
     # ------------------------------------------------------------------ write
 

@@ -232,10 +232,13 @@ def dedup_jaccard_pairs(sf_dir: str) -> pa.Table:
     return dedup.jaccard_pairs_exact(sf_dir)
 
 
-@query("dedup_minhash_lsh", None)
+@query("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)
 def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
-    """MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified. Rows-only
-    for the driver; tests cross-check equality with dedup_jaccard_pairs."""
+    """MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified — the only
+    approximation is deterministic false negatives (P < 1e-7 per pair at
+    tau=0.9), none of which occur on the seeded corpus, so it carries the
+    SAME all-pairs oracle as dedup_jaccard_pairs (equality also asserted in
+    tests/test_training_ops.py)."""
     from seronet_data_validator_ray.functions import dedup
 
     return dedup.minhash_lsh_pairs(sf_dir)

@@ -142,27 +142,35 @@ def test_stats_histogram_matches_numpy(groups):
         max_size=25,
     )
 )
-def test_bitset_pair_verify_matches_bruteforce(docs):
-    """_verify_pairs_group's chunked bitset popcount vs naive set math —
-    exercises multi-word bitsets (>64 distinct tokens) and chunk edges."""
+def test_pair_verify_matches_bruteforce(docs):
+    """The packed-binary vectorized Jaccard verifier (_toks_to_binary +
+    _jaccard_of_pairs) vs naive set math over every (i<j) pair — exercises
+    ragged rows, empty intersections and the lexsort dedup-count path."""
+    import numpy as np
+
     from seronet_data_validator_ray.functions import dedup
 
-    toks = [sorted(set(d)) for d in docs]
+    toks = [np.array(sorted(set(d)), dtype=np.uint64) for d in docs]
     ids = list(range(100, 100 + len(docs)))
-    group = pa.table(
-        {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "toks": pa.array(toks, type=pa.list_(pa.int64())),
-        }
-    )
-    got = dedup._verify_pairs_group(group).to_pandas()
+    n = len(docs)
+    ii, jj = np.triu_indices(n, 1)
+    if len(ii) == 0:
+        return
+    lengths = np.array([len(t) for t in toks], dtype=np.int64)
+    flat = np.concatenate(toks) if lengths.sum() else np.zeros(0, dtype=np.uint64)
+    col = dedup._toks_to_binary(lengths, flat)
+    got = dedup._jaccard_of_pairs(
+        np.array(ids)[ii], np.array(ids)[jj],
+        col.take(pa.array(ii, type=pa.int64())),
+        col.take(pa.array(jj, type=pa.int64())),
+    ).to_pandas()
     got_set = {(a, b): j for a, b, j in zip(got.doc_id_a, got.doc_id_b, got.jac_bp)}
     want = {}
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a, b = set(toks[i]), set(toks[j])
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = set(toks[i].tolist()), set(toks[j].tolist())
             inter, union = len(a & b), len(a | b)
-            if dedup.JACCARD_DEN * inter >= dedup.JACCARD_NUM * union:
+            if union and dedup.JACCARD_DEN * inter >= dedup.JACCARD_NUM * union:
                 want[(ids[i], ids[j])] = (10000 * inter) // union
     assert got_set == want
 

@@ -24,6 +24,19 @@ def test_minhash_matches_exact_jaccard(ray_session):
     assert ex.equals(mh), "LSH candidates + exact verify must equal the exact join here"
 
 
+def test_minhash_distributed_paths_match_driver_paths(ray_session, monkeypatch):
+    """Force the scale paths — raw-Ray bucketed candidate exchange AND the
+    two-hash-join verify — and require bit-identical output to the (already
+    oracle-checked) driver paths."""
+    from seronet_data_validator_ray.functions import dedup
+
+    small = dedup.minhash_lsh_pairs(SF)
+    monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "DRIVER_VERIFY_MAX_DOCS", 0)
+    big = dedup.minhash_lsh_pairs(SF)
+    assert small.to_pandas().equals(big.to_pandas())
+
+
 def test_simhash_matches_bruteforce(ray_session):
     from seronet_data_validator_ray.functions import dedup
 

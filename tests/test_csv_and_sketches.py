@@ -85,3 +85,27 @@ def test_approx_stats_accuracy(ray_session):
     assert abs(got.loc["l_orderkey", "approx_distinct"] - nd) / nd < 0.05
     assert abs(got.loc["l_extendedprice", "p50_cents"] - p50) / p50 < 0.02
     assert abs(got.loc["l_extendedprice", "p95_cents"] - p95) / p95 < 0.02
+
+
+def test_reconcile_keys_distributed_2m(ray_session):
+    """reconcile_keys must stay exact with ~2M distinct keys per side and no
+    driver-side key-set materialization (full-outer join path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from seronet_data_validator_ray.functions.joins import reconcile_keys
+
+    N = 2_000_000
+    left = ray.data.range(N)  # id: 0..N-1
+
+    def shift(b: pa.Table) -> pa.Table:
+        return pa.table({"id2": pc.add(b["id"], 5)})
+
+    right = ray.data.range(N).map_batches(shift, batch_format="pyarrow", zero_copy_batch=True)
+    out = reconcile_keys(left, right, "id", "id2").to_pandas()
+    lo = sorted(out[out.present_in == "left_only"].key_value.astype(int))
+    ro = sorted(out[out.present_in == "right_only"].key_value.astype(int))
+    assert lo == [0, 1, 2, 3, 4]
+    assert ro == [N, N + 1, N + 2, N + 3, N + 4]
+    assert len(out) == 10

@@ -19,7 +19,7 @@ from typing import Any
 
 
 def _registries():
-    from seronet_data_validator_ray.pipelines import seq_queries, table_queries
+    from seronet_data_validator_ray.pipelines import clinical_queries, seq_queries, table_queries
 
     extra = {}
     try:
@@ -28,7 +28,7 @@ def _registries():
         extra = op_queries.REGISTRY
     except ImportError:
         pass
-    return table_queries.REGISTRY, seq_queries.REGISTRY, extra
+    return table_queries.REGISTRY, seq_queries.REGISTRY, extra, clinical_queries.REGISTRY
 
 
 def entry() -> Any:
@@ -65,27 +65,32 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    table_reg, seq_reg, extra_reg = _registries()
+    table_reg, seq_reg, extra_reg, clin_reg = _registries()
     out: dict[str, Callable[[str], Any]] = {}
-    for name, (fn, _sql) in {**table_reg, **seq_reg, **extra_reg}.items():
+    for name, (fn, _sql) in {**table_reg, **seq_reg, **extra_reg, **clin_reg}.items():
         out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from seronet_data_validator_ray.pipelines import clinical_queries
     from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq, format_sql
 
-    table_reg, seq_reg, extra_reg = _registries()
+    table_reg, seq_reg, extra_reg, clin_reg = _registries()
     out: dict[str, str] = {}
     for name, (_fn, sql) in {**table_reg, **extra_reg}.items():
         if sql is not None:
             out[name] = sql
-    # seq oracles read the synthesized parquet directly; generate it for the
-    # driver's correctness sf now so the oracle runs regardless of order
+    # seq/clinical oracles read synthesized files directly; generate them for
+    # the driver's correctness sf now so the oracle runs regardless of order
     sf_dir = "/root/testdata/sf0.01"
     ensure_seq(sf_dir)
     for name in seq_reg:
         sql = format_sql(name, sf_dir)
+        if sql is not None:
+            out[name] = sql
+    for name in clin_reg:
+        sql = clinical_queries.format_sql(name, sf_dir)
         if sql is not None:
             out[name] = sql
     return out

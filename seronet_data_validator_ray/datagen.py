@@ -299,3 +299,139 @@ def compute_reference_histograms(clean_dir: str) -> dict:
         }
         for s, d in out.items()
     }
+
+
+# --------------------------------------------------------------------- clinical
+
+CURR_DATE = "2024-06-15"  # the reference's "current date", pinned for determinism
+DURATION_UNITS = ["Day", "Week", "Month", "Year"]
+STATUS_CANON = ["Completed", "In Progress", "Withdrawn"]
+
+CLINICAL_SCHEMA = pa.schema(
+    [
+        pa.field("row_id", pa.int64()),
+        pa.field("subject_id", pa.string()),
+        pa.field("visit_year", pa.int32()),
+        pa.field("duration_value", pa.float64()),
+        pa.field("duration_unit", pa.string()),
+        pa.field("total_cells", pa.int64()),
+        pa.field("live_cells", pa.int64()),
+        pa.field("viability", pa.float64()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+def generate_clinical(out_dir: str, n_rows: int = 2000, seed: int = 77) -> str:
+    """Deterministic `clinical` table mirroring the reference's prior_clinical
+    sheets (duration bundle ≙ check_duration_rules / compare_dates_to_curr,
+    /root/reference/File_Submission_Object.py:471-517; viability triple ≙
+    compare_total_to_live / compare_viability, :519-552; status typos ≙
+    check_for_typo, /root/reference/Data_Validation_v2.py:563-591).
+
+    Planted violations (fractions of n_rows, disjoint corruption styles):
+    future durations, out-of-range values/years, invalid units, unit/value
+    N/A inconsistency, live>total, wrong viability, viability not N/A at
+    total==0, and typo'd statuses. Rounding ties (exact .05) are perturbed
+    away so numpy and DuckDB round() agree on every row by construction.
+    """
+    marker = os.path.join(out_dir, "_GEN_OK.json")
+    params = {"n_rows": n_rows, "seed": seed, "v": 1}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f).get("params") == params:
+                    return out_dir
+        except Exception:
+            pass
+    rng = np.random.default_rng(seed)
+    n = n_rows
+    row_id = np.arange(n, dtype=np.int64)
+    subject = np.array([f"sub_{i % (n // 4 + 1):06d}" for i in range(n)], dtype=object)
+
+    year = rng.integers(1980, 2024, size=n).astype(np.float64)
+    dur = rng.integers(0, 36, size=n).astype(np.float64)
+    unit = rng.choice(DURATION_UNITS, size=n, p=[0.25, 0.1, 0.4, 0.25]).astype(object)
+
+    # plant on disjoint row sets
+    order = rng.permutation(n)
+    cur = 0
+
+    def take(k):
+        nonlocal cur
+        r = order[cur : cur + k]
+        cur += k
+        return r
+
+    k = max(5, n // 50)
+    r_future = take(k)  # duration pushes past CURR_DATE
+    for j, r in enumerate(r_future):
+        u = DURATION_UNITS[[0, 2, 3][j % 3]]  # Day/Month/Year (Week never checked)
+        unit[r] = u
+        year[r] = 2023
+        dur[r] = {"Day": 2000, "Month": 30, "Year": 5}[u]
+    r_val_range = take(max(3, n // 100))  # negative / absurd duration values
+    dur[r_val_range] = np.where(np.arange(len(r_val_range)) % 2 == 0, -3.0, 200000.0)
+    r_bad_unit = take(max(3, n // 100))
+    unit[r_bad_unit] = "Fortnight"
+    r_year_range = take(max(3, n // 100))  # year out of [1900, curr]
+    year[r_year_range] = np.where(np.arange(len(r_year_range)) % 2 == 0, 1850.0, 2031.0)
+    r_na_val = take(max(3, n // 100))  # value N/A but unit present -> dependency NV
+    dur[r_na_val] = np.nan
+    r_na_unit = take(max(3, n // 100))  # unit N/A but value present
+    unit[r_na_unit] = None
+
+    total = rng.integers(1, 500, size=n).astype(np.int64)
+    r_zero_total = take(max(4, n // 60))
+    total[r_zero_total] = 0
+    live = np.minimum((total * rng.uniform(0.3, 1.0, size=n)).astype(np.int64), total)
+    # avoid exact-.5 tenth-of-percent rounding ties: 2000*live == total*(odd)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tie = (total > 0) & ((2000 * live) % np.maximum(total, 1) == 0) & (
+            ((2000 * live) // np.maximum(total, 1)) % 2 == 1
+        )
+    live = np.where(tie & (live < total), live + 1, np.where(tie, live - 1, live))
+    live = np.clip(live, 0, np.maximum(total, 0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        via_exact = np.floor(np.where(total > 0, 1000.0 * live / np.maximum(total, 1), 0) + 0.5) / 10.0
+    viability = np.where(total > 0, via_exact, np.nan)
+    r_live_gt = take(max(4, n // 60))  # live > total
+    total_pos = np.maximum(total[r_live_gt], 1)
+    total[r_live_gt] = total_pos
+    live[r_live_gt] = total_pos + 1 + (np.arange(len(r_live_gt)) % 3)
+    r_bad_via = take(max(4, n // 60))  # declared viability off by >= 0.5
+    mask_pos = total[r_bad_via] > 0
+    viability[r_bad_via] = np.where(mask_pos, np.clip(via_exact[r_bad_via] - 7.5, 0, None), viability[r_bad_via])
+    r_via_at_zero = take(max(3, n // 100))  # total==0 but viability not N/A
+    total[r_via_at_zero] = 0
+    live[r_via_at_zero] = 0
+    viability[r_via_at_zero] = 55.5
+
+    status = rng.choice(STATUS_CANON, size=n).astype(object)
+    typos = ["Comppleted", "completd", "In  Progress", "inprogress", "Withdrawnn", "widthdrawn"]
+    r_typo = take(max(6, n // 40))
+    for j, r in enumerate(r_typo):
+        status[r] = typos[j % len(typos)]
+
+    dur_arr = pa.array([None if np.isnan(v) else float(v) for v in dur], type=pa.float64())
+    via_arr = pa.array([None if np.isnan(v) else float(v) for v in viability], type=pa.float64())
+    tbl = pa.table(
+        {
+            "row_id": pa.array(row_id),
+            "subject_id": pa.array(subject, type=pa.string()),
+            "visit_year": pa.array(year.astype(np.int32), type=pa.int32()),
+            "duration_value": dur_arr,
+            "duration_unit": pa.array(unit, type=pa.string()),
+            "total_cells": pa.array(total),
+            "live_cells": pa.array(live),
+            "viability": via_arr,
+            "status": pa.array(status, type=pa.string()),
+        },
+        schema=CLINICAL_SCHEMA,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, "clinical.parquet"))
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"params": params}, f)
+    os.replace(marker + ".tmp", marker)
+    return out_dir

@@ -112,7 +112,7 @@ def _needed_columns(ruleset: RuleSet, stats_spec: StatsSpec | None) -> list[str]
     cols: set[str] = set()
     for r in ruleset.row_local():
         cols.add(r.column)
-        for p in ("of", "other", "prefix_of"):
+        for p in ("of", "other", "prefix_of", "num", "den", "unit_col", "year_col", "when_col"):
             if p in r.params:
                 cols.add(r.params[p])
         if r.dependency:

@@ -249,6 +249,108 @@ def k_str_len_range(table, column, params, ctx):
     return _to_bool(pc.fill_null(fail, False)), None
 
 
+def k_forbidden_values(table, column, params, ctx):
+    """Value must NOT be one of ``values`` (≙ compare_viability's
+    'Total Count is 0 ⇒ Viability should be N/A' warning shape,
+    /root/reference/File_Submission_Object.py:541-544 — typed columns encode
+    N/A as null, so 'must be N/A' becomes 'forbidden concrete values')."""
+    col = _col(table, column)
+    values = list(_resolve_values(params, ctx))
+    fail = pc.and_kleene(pc.is_in(col, value_set=pa.array(values, type=col.type)), pc.is_valid(col))
+    return _to_bool(fail), None
+
+
+def k_null_required_when(table, column, params, ctx):
+    """Column must be N/A (null) when a sibling column holds a trigger value
+    (≙ compare_viability's 'Total Count is 0, Viability_Count should be N/A'
+    Warning, /root/reference/File_Submission_Object.py:541-544).
+    params: when_col, when_values."""
+    col = _col(table, column)
+    when = _col(table, params["when_col"])
+    trigger = pc.is_in(when, value_set=pa.array(list(params["when_values"]), type=when.type))
+    fail = pc.and_kleene(pc.fill_null(trigger, False), pc.is_valid(col))
+    return _to_bool(fail), None
+
+
+def k_ratio_eq(table, column, params, ctx):
+    """Derived-ratio consistency (≙ compare_viability,
+    /root/reference/File_Submission_Object.py:531-552):
+    ``col == round(factor * num / den, ndigits)`` with ``den == 0`` or any
+    null operand never failing (the zero-den warning is its own
+    forbidden-values rule). Compared in integer tenths on BOTH engines
+    (round half-away-from-zero) so DuckDB round() parity holds exactly.
+
+    params: num, den (column names), factor (default 100.0), ndigits (default 1)."""
+    col = _col(table, column)
+    num = _col(table, params["num"])
+    den = _col(table, params["den"])
+    factor = float(params.get("factor", 100.0))
+    scale = 10.0 ** int(params.get("ndigits", 1))
+    c = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    a = num.to_numpy(zero_copy_only=False).astype(np.float64)
+    b = den.to_numpy(zero_copy_only=False).astype(np.float64)
+    valid = (
+        _to_bool(pc.is_valid(col)) & _to_bool(pc.is_valid(num)) & _to_bool(pc.is_valid(den))
+    ) & (b != 0)
+    bb = np.where(valid, b, 1.0)
+
+    def _half_away(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    want = _half_away(scale * factor * a / bb)
+    got = _half_away(scale * np.where(valid, c, 0.0))
+    mask = valid & (want != got)
+    rows = np.nonzero(mask)[0]
+    observed = {
+        int(r): f"{c[int(r)]:g} != round({factor:g}*{a[int(r)]:g}/{b[int(r)]:g})" for r in rows
+    }
+    return mask, observed
+
+
+def k_duration_future(table, column, params, ctx):
+    """Duration lands in the future (≙ compare_dates_to_curr's unit-dispatched
+    month/year/day arithmetic, /root/reference/File_Submission_Object.py:490-517,
+    driven by the check_duration_rules bundle :471-488): with anchor year Y and
+    reference date D —
+      unit Month: value + 12*Y > 12*year(D) + month(D)
+      unit Year:  value + Y > year(D)
+      unit Day:   value > days between Jan 1 of Y and D
+    'Week' rows are never checked — faithfully mirroring the reference, whose
+    unit dispatch has no Week branch. Null value/year/unit rows never fail.
+
+    params: unit_col, year_col, ref_date 'YYYY-MM-DD'.
+    Observed: '<Unit>: <value>, Year: <year>' (≙ error_val, ref :512-515)."""
+    col = _col(table, column)
+    unit = _col(table, params["unit_col"])
+    yr = _col(table, params["year_col"])
+    ref = np.datetime64(params["ref_date"], "D")
+    curr_year = int(str(ref)[:4])
+    curr_month = int(str(ref)[5:7])
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    y = yr.to_numpy(zero_copy_only=False).astype(np.float64)
+    u = pc.utf8_lower(pc.fill_null(unit, "")).to_numpy(zero_copy_only=False)
+    valid = (
+        _to_bool(pc.is_valid(col)) & _to_bool(pc.is_valid(yr)) & _to_bool(pc.is_valid(unit))
+    )
+    valid &= ~np.isnan(v) & ~np.isnan(y) & (y >= 1) & (y <= 9999)
+    yi = np.where(valid, y, 2000).astype(np.int64)
+    # days from Jan 1 of the anchor year to the reference date, leap-exact
+    jan1 = (yi - 1970).astype("timedelta64[Y]") + np.datetime64("1970", "Y")
+    day_dur = (ref - jan1.astype("datetime64[D]")).astype(np.int64)
+    vv = np.where(valid, v, 0.0)
+    fail = valid & (
+        ((u == "month") & (vv + 12 * yi > 12 * curr_year + curr_month))
+        | ((u == "year") & (vv + yi > curr_year))
+        | ((u == "day") & (vv > day_dur))
+    )
+    rows = np.nonzero(fail)[0]
+    unit_raw = unit.to_numpy(zero_copy_only=False)
+    observed = {
+        int(r): f"{unit_raw[int(r)]}: {v[int(r)]:g}, Year: {int(y[int(r)])}" for r in rows
+    }
+    return fail, observed
+
+
 KERNELS = {
     "not_null": k_not_null,
     "in_set": k_in_set,
@@ -261,6 +363,10 @@ KERNELS = {
     "substr_of": k_substr_of,
     "contains_any": k_contains_any,
     "str_len_range": k_str_len_range,
+    "forbidden_values": k_forbidden_values,
+    "null_required_when": k_null_required_when,
+    "ratio_eq": k_ratio_eq,
+    "duration_future": k_duration_future,
 }
 
 

@@ -115,14 +115,60 @@ def cast_batch(batch: pa.Table, decided: dict[str, pa.DataType]) -> pa.Table:
     return pa.table(out)
 
 
+def cleanup_batch(batch: pa.Table) -> pa.Table:
+    """≙ cleanup_table (/root/reference/File_Submission_Object.py:125-138),
+    vectorized over the all-string batch:
+
+    1. drop rows where EVERY cell is null/empty (the dropna(how='all') of a
+       na_filter=False read, where blanks are '' not NaN),
+    2. drop rows where every cell equals the row's column-0 value (the
+       reference's header-echo artifact check, evaluated BEFORE col drops),
+    3. drop 'Unnamed*' columns (Excel export artifacts),
+    4. normalize en-dash '–' to '-' in every string cell
+       (also ≙ the unit-string normalization habit of Validation_Rules.py:10).
+    """
+    if batch.num_rows == 0 or not batch.column_names:
+        return batch.select(
+            [c for c in batch.column_names if not c.startswith("Unnamed")]
+        )
+    col0 = batch[batch.column_names[0]]
+    all_empty = None
+    all_eq = None
+    for name in batch.column_names:
+        col = batch[name]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            empty = pc.or_kleene(pc.is_null(col), pc.fill_null(pc.equal(col, ""), False))
+        else:
+            empty = pc.is_null(col)
+        empty = pc.fill_null(empty, True)
+        eq0 = pc.fill_null(pc.equal(col, col0), False)
+        all_empty = empty if all_empty is None else pc.and_(all_empty, empty)
+        all_eq = eq0 if all_eq is None else pc.and_(all_eq, eq0)
+    keep = pc.invert(pc.or_(all_empty, all_eq))
+    out = batch.filter(keep).select(
+        [c for c in batch.column_names if not c.startswith("Unnamed")]
+    )
+    cols = {}
+    for name in out.column_names:
+        col = out[name]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.replace_substring(col, "–", "-")
+        cols[name] = col
+    return pa.table(cols)
+
+
 def _peek_columns(path: str) -> list[str]:
     """Column names from the first CSV block (streaming open, no full read)."""
     with pacsv.open_csv(path) as reader:
         return reader.schema.names
 
 
-def read_csv_typed(paths, force_str: tuple[str, ...] = (), concurrency=None):
+def read_csv_typed(paths, force_str: tuple[str, ...] = (), concurrency=None, clean: bool = False):
     """All-varchar distributed CSV read + vectorized typing stage.
+
+    ``clean=True`` applies :func:`cleanup_batch` (≙ the reference's
+    cleanup_table) BEFORE typing — matching the reference's clean-then-type
+    order, so junk rows cannot poison a column's type decision.
 
     Returns a lazy Dataset; the typing stage is a plain map_batches so it
     fuses with downstream transforms.
@@ -153,6 +199,8 @@ def read_csv_typed(paths, force_str: tuple[str, ...] = (), concurrency=None):
         read_options=pacsv.ReadOptions(use_threads=False),
         parse_options=pacsv.ParseOptions(newlines_in_values=False),
     )
+    if clean:
+        ds = ds.map_batches(cleanup_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     # pass 1: tiny per-batch typing partials -> one global decision
     from seronet_data_validator_ray.util import ds_to_table

@@ -27,6 +27,10 @@ def all_registries():
             regs[name] = (fn, lambda sf, s=sql: s)
     except ImportError:
         pass
+    from seronet_data_validator_ray.pipelines import clinical_queries
+
+    for name, (fn, sql) in clinical_queries.REGISTRY.items():
+        regs[name] = (fn, lambda sf, n=name: clinical_queries.format_sql(n, sf))
     return regs
 
 

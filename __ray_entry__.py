@@ -19,7 +19,12 @@ from typing import Any
 
 
 def _registries():
-    from seronet_data_validator_ray.pipelines import clinical_queries, seq_queries, table_queries
+    from seronet_data_validator_ray.pipelines import (
+        clinical_queries,
+        seq_queries,
+        submission,
+        table_queries,
+    )
 
     extra = {}
     try:
@@ -28,6 +33,7 @@ def _registries():
         extra = op_queries.REGISTRY
     except ImportError:
         pass
+    extra = {**extra, **submission.REGISTRY}
     return table_queries.REGISTRY, seq_queries.REGISTRY, extra, clinical_queries.REGISTRY
 
 

@@ -1,0 +1,468 @@
+"""Multi-table submission lifecycle (SURVEY §3.4 "what's missing" #4).
+
+The reference validates a *dict of sheets* per submission and feeds
+cross-sheet checks into the same Error_list and verdict
+(≙ get_cross_sheet_ID, /root/reference/File_Submission_Object.py:691-757;
+compare_tests, /root/reference/Validation_Rules.py:64-119; shipping-vs-
+aliquot reconciliation, /root/reference/Data_Validation_v2.py:259-267).
+:func:`validate_submission` is the Ray-Data equivalent: each table runs the
+full row-rule pipeline (:func:`validate`), then declarative cross-table
+checks run as distributed joins, and every violation — row-local and
+cross-table — lands in ONE violations table and ONE verdict roll-up, with
+per-table manifests so a resumed run skips completed work.
+
+Cross-check execution shapes (both already proven in this engine):
+- :class:`CrossKeyCheck` → the full-outer-join key reconciliation of
+  functions.joins.reconcile_keys (no driver-side key materialization);
+- :class:`CrossSumCheck` → per-key pre-aggregated cents inside map_batches,
+  ONE co-partitioned ``Dataset.join`` against the declaring table, exact
+  integer delta filter (the order_total_consistency shape).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from seronet_data_validator_ray.pipelines.validate import (
+    VIOLATION_SCHEMA,
+    ValidationResult,
+    validate,
+)
+from seronet_data_validator_ray.rules.spec import ROW_CROSS_LEVEL, RuleSet, Severity
+
+REGISTRY: dict[str, tuple] = {}  # query-name -> (fn(sf_dir) -> table, sql | None)
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+@dataclass
+class TableSpec:
+    """One sheet of the submission: where it lives + its rule set."""
+
+    input_path: str
+    ruleset: RuleSet
+    file_glob: str = "part-*.parquet"
+    expected_schema: pa.Schema | None = None
+    broadcast: dict | None = None
+
+
+@dataclass
+class CrossKeyCheck:
+    """Keys must reconcile between two tables (≙ check_map_ids /
+    get_cross_sheet_ID). One violation per key present on a reported side."""
+
+    rule_id: str
+    left_table: str
+    left_key: str
+    right_table: str
+    right_key: str
+    severity: str = Severity.ERROR
+    sides: tuple = ("left_only", "right_only")
+    message: str = "key present on exactly one side"
+
+
+@dataclass
+class CrossSumCheck:
+    """Per-key fact sum (exact cents) must match a declared value in another
+    table within ``tol_cents`` (≙ compare_tests' per-key consistency)."""
+
+    rule_id: str
+    fact_table: str
+    fact_key: str
+    fact_value_col: str
+    dim_table: str
+    dim_key: str
+    declared_col: str
+    tol_cents: int = 0
+    severity: str = Severity.ERROR
+    message: str = "declared total disagrees with fact-row sum"
+
+
+@dataclass
+class SubmissionResult:
+    violations: pa.Table
+    verdicts: pa.Table  # per (table, partition)
+    table_verdicts: pa.Table  # per table + __cross__
+    tables: dict = field(default_factory=dict)  # name -> ValidationResult
+
+
+def _table_files(spec: TableSpec) -> list[str]:
+    import glob
+
+    if os.path.isdir(spec.input_path):
+        return sorted(glob.glob(os.path.join(spec.input_path, spec.file_glob)))
+    return [spec.input_path]
+
+
+def _table_ds(spec: TableSpec, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(_table_files(spec), columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(col, pa.float64()), 100.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _cross_rows(rule_id, table, doc_ids, column, observed, severity, message) -> pa.Table:
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "rule_id": pa.array([rule_id] * n, type=pa.string()),
+            "partition": pa.array([f"__cross__/{table}"] * n, type=pa.string()),
+            "row_index": pa.array([ROW_CROSS_LEVEL] * n, type=pa.int64()),
+            "doc_id": pa.array([str(d) for d in doc_ids], type=pa.string()),
+            "column": pa.array([column] * n, type=pa.string()),
+            "observed": pa.array([str(o) for o in observed], type=pa.string()),
+            "severity": pa.array([severity] * n, type=pa.string()),
+            "message": pa.array([message] * n, type=pa.string()),
+        },
+        schema=VIOLATION_SCHEMA,
+    )
+
+
+def _run_key_check(check: CrossKeyCheck, tables: dict[str, TableSpec]) -> pa.Table:
+    from seronet_data_validator_ray.functions.joins import reconcile_keys
+
+    left = _table_ds(tables[check.left_table], [check.left_key])
+    right = _table_ds(tables[check.right_table], [check.right_key])
+    rec = reconcile_keys(left, right, check.left_key, check.right_key)
+    out = []
+    for side, table, column in (
+        ("left_only", check.left_table, check.left_key),
+        ("right_only", check.right_table, check.right_key),
+    ):
+        if side not in check.sides:
+            continue
+        sub = rec.filter(pc.equal(rec["present_in"], side))
+        if len(sub):
+            out.append(
+                _cross_rows(
+                    check.rule_id, table, sub["key_value"].to_pylist(), column,
+                    [side] * len(sub), check.severity, check.message,
+                )
+            )
+    return pa.concat_tables(out) if out else VIOLATION_SCHEMA.empty_table()
+
+
+def _run_sum_check(check: CrossSumCheck, tables: dict[str, TableSpec]) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Sum
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    fact = _table_ds(tables[check.fact_table], [check.fact_key, check.fact_value_col])
+    key, val = check.fact_key, check.fact_value_col
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch[key], "cents": _cents(batch[val])})
+
+    computed = (
+        fact.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(Sum("cents", alias_name="computed_cents"))
+    )
+    dim = _table_ds(tables[check.dim_table], [check.dim_key, check.declared_col])
+
+    def dim_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {check.dim_key: batch[check.dim_key], "declared_cents": _cents(batch[check.declared_col])}
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = dim.map_batches(dim_cents, batch_format="pyarrow", zero_copy_batch=True).join(
+        computed,
+        join_type="inner",
+        num_partitions=max(4, min(32, ncpu)),
+        on=(check.dim_key,),
+        right_on=(key,),
+    )
+    tol = check.tol_cents
+
+    def bad(batch: pa.Table) -> pa.Table:
+        delta = pc.subtract(batch["computed_cents"], batch["declared_cents"])
+        mask = pc.greater(pc.abs(delta), tol)
+        sub = batch.filter(mask)
+        return pa.table(
+            {
+                check.dim_key: sub[check.dim_key],
+                "delta_cents": pc.subtract(sub["computed_cents"], sub["declared_cents"]),
+            }
+        )
+
+    viol = ds_to_table(
+        joined.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([(check.dim_key, pa.int64()), ("delta_cents", pa.int64())]),
+    )
+    if len(viol) == 0:
+        return VIOLATION_SCHEMA.empty_table()
+    return _cross_rows(
+        check.rule_id, check.dim_table, viol[check.dim_key].to_pylist(),
+        check.declared_col, viol["delta_cents"].to_pylist(), check.severity, check.message,
+    )
+
+
+def validate_submission(
+    tables: dict[str, TableSpec],
+    cross_checks: list | None = None,
+    output_dir: str | None = None,
+    resume: bool = True,
+    **validate_kwargs,
+) -> SubmissionResult:
+    """Validate every sheet + cross-sheet checks into one violations table,
+    one per-partition verdict table and one per-table roll-up. Ray must
+    already be initialised. Per-table outputs (and manifests, when
+    ``output_dir`` is given) land under ``<output_dir>/tables/<name>``, so a
+    resumed run re-validates only pending partitions of each table."""
+    results: dict[str, ValidationResult] = {}
+    viols: list[pa.Table] = []
+    verdict_parts: list[pa.Table] = []
+    for name in sorted(tables):
+        spec = tables[name]
+        res = validate(
+            spec.input_path,
+            spec.ruleset,
+            expected_schema=spec.expected_schema,
+            broadcast=spec.broadcast,
+            output_dir=os.path.join(output_dir, "tables", name) if output_dir else None,
+            resume=resume,
+            file_glob=spec.file_glob,
+            **validate_kwargs,
+        )
+        results[name] = res
+        v = res.violations
+        if len(v):
+            v = v.set_column(
+                v.schema.get_field_index("partition"),
+                "partition",
+                pc.binary_join_element_wise(
+                    pa.array([name] * len(v), type=pa.string()), v["partition"], "/"
+                ),
+            )
+        viols.append(v)
+        vd = res.verdicts
+        vd = vd.add_column(0, "table", pa.array([name] * len(vd), type=pa.string()))
+        verdict_parts.append(vd)
+
+    cross_viols: list[pa.Table] = []
+    for check in cross_checks or []:
+        if isinstance(check, CrossKeyCheck):
+            cross_viols.append(_run_key_check(check, tables))
+        elif isinstance(check, CrossSumCheck):
+            cross_viols.append(_run_sum_check(check, tables))
+        else:
+            raise TypeError(f"unknown cross-check type: {type(check).__name__}")
+    cross_tbl = (
+        pa.concat_tables(cross_viols) if cross_viols else VIOLATION_SCHEMA.empty_table()
+    )
+    viols.append(cross_tbl)
+    violations = pa.concat_tables(viols).cast(VIOLATION_SCHEMA)
+    if output_dir:
+        import pyarrow.parquet as pq
+
+        os.makedirs(output_dir, exist_ok=True)
+        out = os.path.join(output_dir, "cross-violations.parquet")
+        pq.write_table(cross_tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
+
+    verdicts = pa.concat_tables(verdict_parts) if verdict_parts else None
+
+    # per-table roll-up (+ one __cross__ row, ≙ the submission-level error
+    # list the reference routes on, Data_Validation_v2.py:272-280)
+    rows = []
+    for name in sorted(results):
+        vd = results[name].verdicts
+        rows.append(
+            {
+                "table": name,
+                "n_rows": int(pc.sum(vd["n_rows"]).as_py() or 0),
+                "n_errors": int(pc.sum(vd["n_errors"]).as_py() or 0),
+                "n_warnings": int(pc.sum(vd["n_warnings"]).as_py() or 0),
+            }
+        )
+    n_cross_err = len(cross_tbl.filter(pc.equal(cross_tbl["severity"], Severity.ERROR)))
+    n_cross_warn = len(cross_tbl.filter(pc.equal(cross_tbl["severity"], Severity.WARNING)))
+    rows.append(
+        {"table": "__cross__", "n_rows": 0, "n_errors": n_cross_err, "n_warnings": n_cross_warn}
+    )
+    for r in rows:
+        r["pass"] = r["n_errors"] == 0
+    table_verdicts = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("table", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_errors", pa.int64()),
+                ("n_warnings", pa.int64()),
+                ("pass", pa.bool_()),
+            ]
+        ),
+    )
+    return SubmissionResult(
+        violations=violations,
+        verdicts=verdicts,
+        table_verdicts=table_verdicts,
+        tables=results,
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+def _sf_submission(sf_dir: str, output_dir: str | None = None) -> SubmissionResult:
+    from seronet_data_validator_ray.rules.spec import RuleSpec
+
+    tables = {
+        "orders": TableSpec(
+            input_path=sf_dir,
+            file_glob="orders.parquet",
+            ruleset=RuleSet(
+                name="orders",
+                key_column="o_orderkey",
+                rules=[
+                    RuleSpec(
+                        "o_totalprice.range", "o_totalprice", "range",
+                        {"lo": 0, "hi": 400000},
+                        message="order total outside [0, 400000]",
+                    ),
+                    RuleSpec(
+                        "o_orderstatus.enum", "o_orderstatus", "in_set",
+                        {"values": ["O", "F", "P"]},
+                        message="unknown order status",
+                    ),
+                ],
+            ),
+        ),
+        "lineitem": TableSpec(
+            input_path=sf_dir,
+            file_glob="lineitem.parquet",
+            ruleset=RuleSet(
+                name="lineitem",
+                key_column="l_orderkey",
+                rules=[
+                    RuleSpec(
+                        "l_quantity.range", "l_quantity", "range",
+                        {"lo": 1, "hi": 45},
+                        severity=Severity.WARNING,
+                        message="quantity outside [1, 45]",
+                    ),
+                ],
+            ),
+        ),
+    }
+    checks = [
+        CrossKeyCheck(
+            "cross.orderkeys", "orders", "o_orderkey", "lineitem", "l_orderkey",
+            message="order key missing from the partner table",
+        ),
+        CrossSumCheck(
+            "cross.order_total", "lineitem", "l_orderkey", "l_extendedprice",
+            "orders", "o_orderkey", "o_totalprice", tol_cents=10_000_000,
+            message="declared order total far from line-item sum",
+        ),
+    ]
+    return validate_submission(tables, checks, output_dir=output_dir)
+
+
+_SUBMISSION_VIOLATIONS_SQL = """
+SELECT 'o_totalprice.range' AS rule_id, CAST(o_orderkey AS VARCHAR) AS doc_id,
+       'o_totalprice' AS column_name,
+       -- Arrow's double->utf8 is shortest-round-trip WITHOUT a trailing .0;
+       -- printf('%g') would truncate to 6 significant digits here
+       regexp_replace(CAST(o_totalprice AS VARCHAR), '\\.0$', '') AS observed,
+       'Error' AS severity
+FROM orders WHERE o_totalprice < 0 OR o_totalprice > 400000
+UNION ALL
+SELECT 'o_orderstatus.enum', CAST(o_orderkey AS VARCHAR), 'o_orderstatus',
+       o_orderstatus, 'Error'
+FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> ''
+  AND o_orderstatus NOT IN ('O','F','P')
+UNION ALL
+SELECT 'l_quantity.range', CAST(l_orderkey AS VARCHAR), 'l_quantity',
+       printf('%g', l_quantity), 'Warning'
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 45
+UNION ALL
+SELECT 'cross.orderkeys', CAST(o_orderkey AS VARCHAR), 'o_orderkey',
+       'left_only', 'Error'
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+UNION ALL
+SELECT 'cross.orderkeys', CAST(l_orderkey AS VARCHAR), 'l_orderkey',
+       'right_only', 'Error'
+FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'cross.order_total', CAST(o.o_orderkey AS VARCHAR), 'o_totalprice',
+       CAST(li.c - CAST(round(o.o_totalprice * 100) AS BIGINT) AS VARCHAR), 'Error'
+FROM orders o
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey) li
+  ON o.o_orderkey = li.l_orderkey
+WHERE abs(li.c - CAST(round(o.o_totalprice * 100) AS BIGINT)) > 10000000
+"""
+
+
+@query("submission_violations", _SUBMISSION_VIOLATIONS_SQL)
+def submission_violations(sf_dir: str) -> pa.Table:
+    """The full multi-table lifecycle: orders + lineitem row rules AND both
+    cross-table checks, all flowing through validate_submission() into one
+    violations table (row-local + cross rows hash-matched together)."""
+    res = _sf_submission(sf_dir)
+    v = res.violations
+    out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
+    return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
+
+
+_SUBMISSION_VERDICTS_SQL = """
+WITH o_err AS (
+  SELECT count(*) AS n FROM orders
+  WHERE (o_totalprice < 0 OR o_totalprice > 400000)
+     OR (o_orderstatus IS NOT NULL AND o_orderstatus <> ''
+         AND o_orderstatus NOT IN ('O','F','P'))
+), l_warn AS (
+  SELECT count(*) AS n FROM lineitem WHERE l_quantity < 1 OR l_quantity > 45
+), x_key AS (
+  SELECT count(*) AS n FROM orders
+  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+), x_sum AS (
+  SELECT count(*) AS n FROM orders o
+  JOIN (SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_orderkey) li ON o.o_orderkey = li.l_orderkey
+  WHERE abs(li.c - CAST(round(o.o_totalprice * 100) AS BIGINT)) > 10000000
+)
+SELECT '__cross__' AS table_name, CAST(0 AS BIGINT) AS n_rows,
+       CAST(x_key.n + x_sum.n AS BIGINT) AS n_errors, CAST(0 AS BIGINT) AS n_warnings,
+       (x_key.n + x_sum.n) = 0 AS pass
+FROM x_key, x_sum
+UNION ALL
+SELECT 'lineitem', (SELECT count(*) FROM lineitem), 0, l_warn.n, TRUE FROM l_warn
+UNION ALL
+SELECT 'orders', (SELECT count(*) FROM orders), o_err.n, 0, o_err.n = 0 FROM o_err
+"""
+
+
+@query("submission_verdicts", _SUBMISSION_VERDICTS_SQL)
+def submission_verdicts(sf_dir: str) -> pa.Table:
+    """Per-table + cross roll-up verdicts from the same lifecycle run."""
+    res = _sf_submission(sf_dir)
+    t = res.table_verdicts
+    return t.rename_columns(
+        ["table_name" if c == "table" else c for c in t.column_names]
+    ).select(["table_name", "n_rows", "n_errors", "n_warnings", "pass"])

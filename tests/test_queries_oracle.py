@@ -27,10 +27,12 @@ def all_registries():
             regs[name] = (fn, lambda sf, s=sql: s)
     except ImportError:
         pass
-    from seronet_data_validator_ray.pipelines import clinical_queries
+    from seronet_data_validator_ray.pipelines import clinical_queries, submission
 
     for name, (fn, sql) in clinical_queries.REGISTRY.items():
         regs[name] = (fn, lambda sf, n=name: clinical_queries.format_sql(n, sf))
+    for name, (fn, sql) in submission.REGISTRY.items():
+        regs[name] = (fn, lambda sf, s=sql: s)
     return regs
 
 

@@ -71,3 +71,19 @@ def test_rerun_is_noop(bad_dir, reference_hists, tmp_path):
     assert r2.metrics["rows_validated_this_run"] == 0
     assert canon(r1.violations).equals(canon(r2.violations))
     assert canon(r1.verdicts).equals(canon(r2.verdicts))
+
+
+def test_submission_lifecycle_resume(ray_session, tmp_path):
+    """Multi-table lifecycle: per-table manifests land under the shared
+    output dir and a second run skips completed partitions but reproduces
+    identical violations + verdicts."""
+    from seronet_data_validator_ray.pipelines.submission import _sf_submission
+
+    out = str(tmp_path / "sub")
+    r1 = _sf_submission("/root/testdata/sf0.001", output_dir=out)
+    r2 = _sf_submission("/root/testdata/sf0.001", output_dir=out)
+    assert r2.tables["orders"].metrics["rows_validated_this_run"] == 0
+    assert r2.tables["lineitem"].metrics["rows_validated_this_run"] == 0
+    assert r1.violations.num_rows == r2.violations.num_rows
+    assert r1.table_verdicts.to_pylist() == r2.table_verdicts.to_pylist()
+    assert r1.table_verdicts.to_pandas().set_index("table").loc["__cross__", "n_errors"] > 0

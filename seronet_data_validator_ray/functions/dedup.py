@@ -267,6 +267,13 @@ def _reduce_jaccard_bucket(*parts, state=None) -> pa.Table:
     da, db = doc[order][a_idx], doc[order][b_idx]
     lo, hi = np.minimum(da, db), np.maximum(da, db)
     keep = lo < hi
+    if "sz" in t.column_names:
+        # AllPairs length filter: Jaccard >= tau forces
+        # min(|a|,|b|) >= tau * max(|a|,|b|) — exactness-preserving prune
+        # BEFORE any verify work (Bayardo et al., WWW'07 §3.1)
+        sz = t["sz"].to_numpy(zero_copy_only=False)[order]
+        sa, sb = sz[a_idx], sz[b_idx]
+        keep &= JACCARD_DEN * np.minimum(sa, sb) >= JACCARD_NUM * np.maximum(sa, sb)
     lo, hi = lo[keep], hi[keep]
     if state is None:
         return _distinct(
@@ -673,6 +680,7 @@ def prefix_emit_batch(batch: pa.Table, order_ref=None) -> pa.Table:
         {
             "bkey": pa.array(ranks_s[keep], type=pa.int64()),
             "doc_id": pa.array(doc_ids[rows_s[keep]], type=pa.int64()),
+            "sz": pa.array(set_sizes[rows_s[keep]].astype(np.int32), type=pa.int32()),
         }
     )
 
@@ -751,6 +759,7 @@ def minhash_emit_batch(batch: pa.Table) -> pa.Table:
         {
             "bkey": pa.array(keys.view(np.int64), type=pa.int64()),
             "doc_id": pa.array(np.tile(doc_ids, LSH_BANDS), type=pa.int64()),
+            "sz": pa.array(np.tile(lengths.astype(np.int32), LSH_BANDS), type=pa.int32()),
         }
     )
 

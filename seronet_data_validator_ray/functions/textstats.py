@@ -105,37 +105,102 @@ _FP_MOD = (1 << 31) - 1
 _FP_BASE = 257
 
 
+def _utf8_flat_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte lengths per row, flat uint8 bytes) straight off the Arrow
+    buffers — the batch's texts concatenated, zero row-wise Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
+    voffs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return np.diff(voffs), data[voffs[0] : voffs[-1]]
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     rolling-hash char 8-grams, rightmost-min per 16-hash window. Emits the
     per-doc fingerprint summary (count / min / max / xor) — at scale the
-    selected (hash, doc) rows would feed the same groupby-bucket pipeline
-    as the other dedup strategies."""
-    ids, n_fp, fp_min, fp_max, fp_xor = [], [], [], [], []
-    for doc_id, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        raw = np.frombuffer(txt.encode(), dtype=np.uint8).astype(np.int64)
-        n = raw.size - FP_K + 1
-        if n < 1:
-            ids.append(doc_id); n_fp.append(0); fp_min.append(0); fp_max.append(0); fp_xor.append(0)
-            continue
-        h = np.zeros(n, dtype=np.int64)
-        for i in range(FP_K):
-            h = (h * _FP_BASE + raw[i : i + n]) % _FP_MOD
-        if n <= FP_W:
-            sel = np.array([n - 1 - int(np.argmin(h[::-1]))])
-        else:
-            win = np.lib.stride_tricks.sliding_window_view(h, FP_W)
-            local = FP_W - 1 - np.argmin(win[:, ::-1], axis=1)  # rightmost min
-            sel = np.unique(local + np.arange(win.shape[0]))
+    selected (hash, doc) rows would feed the same bucket pipeline as the
+    other dedup strategies.
+
+    Vectorized across the WHOLE batch (round-1 verdict item #8): one rolling
+    hash over the concatenated UTF-8 buffer, one sliding-window min for all
+    long docs at once, segment reduceat aggregates — the only per-doc work is
+    index arithmetic."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    blens, flat = _utf8_flat_view(batch["text"])
+    D = len(blens)
+    if D == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_fp": pa.array([], type=pa.int64()),
+                "fp_min": pa.array([], type=pa.int64()),
+                "fp_max": pa.array([], type=pa.int64()),
+                "fp_xor": pa.array([], type=pa.int64()),
+            }
+        )
+    starts = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(blens, out=starts[1:])
+    total = int(starts[-1])
+    raw = flat.astype(np.int64)
+    n_kgrams = max(0, total - FP_K + 1)
+    h = np.zeros(n_kgrams, dtype=np.int64)
+    for i in range(FP_K):
+        h = (h * _FP_BASE + raw[i : i + n_kgrams]) % _FP_MOD
+    # per-doc valid k-gram counts and hash-slice starts
+    nd = np.maximum(blens - FP_K + 1, 0)
+    hstarts = starts[:-1]  # k-gram at byte p hashes bytes p..p+K-1
+
+    sel_parts: list[np.ndarray] = []
+    # short docs (1 <= nd <= W): one fingerprint — the rightmost minimum
+    short = np.nonzero((nd >= 1) & (nd <= FP_W))[0]
+    if short.size:
+        seg_starts = hstarts[short]
+        lens = nd[short]
+        pos = np.repeat(seg_starts, lens) + (
+            np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        hv = h[pos]
+        mins = np.minimum.reduceat(hv, np.cumsum(lens) - lens)
+        is_min = hv == np.repeat(mins, lens)
+        rightmost = np.maximum.reduceat(np.where(is_min, pos, -1), np.cumsum(lens) - lens)
+        sel_parts.append(rightmost)
+    # long docs (nd > W): global sliding windows, restricted per doc
+    long_docs = np.nonzero(nd > FP_W)[0]
+    if long_docs.size and n_kgrams >= FP_W:
+        win = np.lib.stride_tricks.sliding_window_view(h, FP_W)
+        local = FP_W - 1 - np.argmin(win[:, ::-1], axis=1)  # rightmost min per window
+        w_lens = nd[long_docs] - FP_W + 1
+        w_pos = np.repeat(hstarts[long_docs], w_lens) + (
+            np.arange(int(w_lens.sum())) - np.repeat(np.cumsum(w_lens) - w_lens, w_lens)
+        )
+        sel_parts.append(np.unique(w_pos + local[w_pos]))
+    if sel_parts:
+        sel = np.unique(np.concatenate(sel_parts))
+    else:
+        sel = np.zeros(0, dtype=np.int64)
+
+    n_fp = np.zeros(D, dtype=np.int64)
+    fp_min = np.zeros(D, dtype=np.int64)
+    fp_max = np.zeros(D, dtype=np.int64)
+    fp_xor = np.zeros(D, dtype=np.int64)
+    if sel.size:
+        doc_of = np.searchsorted(starts, sel, side="right") - 1
         fps = h[sel]
-        ids.append(doc_id)
-        n_fp.append(int(fps.size))
-        fp_min.append(int(fps.min()))
-        fp_max.append(int(fps.max()))
-        fp_xor.append(int(np.bitwise_xor.reduce(fps)))
+        seg = np.nonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])[0]
+        docs_present = doc_of[seg]
+        n_fp[docs_present] = np.diff(np.append(seg, len(sel)))
+        fp_min[docs_present] = np.minimum.reduceat(fps, seg)
+        fp_max[docs_present] = np.maximum.reduceat(fps, seg)
+        fp_xor[docs_present] = np.bitwise_xor.reduceat(fps, seg)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
             "n_fp": pa.array(n_fp, type=pa.int64()),
             "fp_min": pa.array(fp_min, type=pa.int64()),
             "fp_max": pa.array(fp_max, type=pa.int64()),

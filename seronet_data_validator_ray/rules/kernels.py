@@ -211,18 +211,19 @@ def k_col_cmp(table, column, params, ctx):
 
 def k_substr_of(table, column, params, ctx):
     """Hierarchical-ID nesting: value must be a substring of another column
-    (≙ check_if_substr, /root/reference/File_Submission_Object.py:356-367)."""
+    (≙ check_if_substr, /root/reference/File_Submission_Object.py:356-367).
+
+    pc.match_substring takes only a scalar pattern, so per-row containment
+    runs through numpy's fixed-width char kernels (one C pass; width = the
+    batch's longest value — fine for ID-shaped columns). Null on either side
+    never fails; an empty needle is always contained (find == 0)."""
     col = _col(table, column)
     other = _col(table, params["other"])
-    # pc.match_substring takes a scalar pattern only; per-row containment falls
-    # back to numpy object ops (used for low-volume ID checks, not hot paths)
-    a = col.to_numpy(zero_copy_only=False)
-    b = other.to_numpy(zero_copy_only=False)
-    mask = np.array(
-        [not (x is None or y is None or str(x) in str(y)) for x, y in zip(a, b)],
-        dtype=bool,
-    )
-    return mask, None
+    a = pc.fill_null(col, "").to_numpy(zero_copy_only=False).astype(str)
+    b = pc.fill_null(other, "").to_numpy(zero_copy_only=False).astype(str)
+    found = np.char.find(b, a) >= 0
+    valid = _to_bool(pc.and_kleene(pc.is_valid(col), pc.is_valid(other)))
+    return valid & ~found, None
 
 
 def k_contains_any(table, column, params, ctx):

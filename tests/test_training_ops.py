@@ -142,3 +142,51 @@ def test_media_frames_expansion(ray_session):
     # frame indices are 0..n-1 per doc and frame digests are distinct
     assert (frames.groupby("doc_id")["frame_idx"].max() + 1 == per_doc).all()
     assert frames["frame_u"].nunique() == len(frames)
+
+
+def test_sessionize_multiblock_matches_bruteforce(ray_session):
+    """Arrow-native sessionize must survive users whose event streams span
+    many blocks (the boundary-merge path) — checked against a per-user
+    brute-force recomputation."""
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.windows import sessionize
+
+    rng = np.random.default_rng(7)
+    n, n_users = 5000, 25
+    users = rng.integers(0, n_users, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 2 * 10**11, n).astype(np.int64))
+    rng.shuffle(ts)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+    chunks = [tbl.slice(i, 250) for i in range(0, n, 250)]  # 20 blocks
+    got = (
+        sessionize(ray.data.from_arrow(chunks), gap_minutes=30.0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    gap = int(30 * 60 * 1e6)
+    rows = []
+    for u in sorted(set(users.tolist())):
+        t = np.sort(ts[users == u])
+        brk = np.nonzero(np.diff(t) > gap)[0]
+        bounds = np.concatenate([[0], brk + 1, [len(t)]])
+        counts = np.diff(bounds)
+        rows.append(
+            {
+                "user_id": u,
+                "n_sessions": len(counts),
+                "n_events": len(t),
+                "max_session_events": int(counts.max()),
+            }
+        )
+    import pandas as pd
+
+    exp = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

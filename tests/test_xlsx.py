@@ -1,0 +1,112 @@
+"""XLSX ingestion: a workbook is crafted in-test with stdlib zipfile (shared
+strings, inline strings, numeric cells, a junk row, an Unnamed column, an
+en-dash) and must round-trip through parse -> cleanup -> dynamic typing with
+the same semantics as the CSV path."""
+
+import zipfile
+
+import pyarrow as pa
+
+
+def _write_xlsx(path, sheets: dict[str, list[list]]):
+    """Minimal writer: shared strings for str cells, inline numbers."""
+    shared: list[str] = []
+    sindex: dict[str, int] = {}
+
+    def cell_xml(ref, v):
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}" t="n"><v>{v}</v></c>'
+        if v is None or v == "":
+            return f'<c r="{ref}"/>'
+        if v not in sindex:
+            sindex[v] = len(shared)
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{sindex[v]}</v></c>'
+
+    def colref(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet_xmls = {}
+    for si, (name, rows) in enumerate(sheets.items(), 1):
+        body = []
+        for ri, row in enumerate(rows, 1):
+            cells = "".join(cell_xml(f"{colref(ci)}{ri}", v) for ci, v in enumerate(row))
+            body.append(f'<row r="{ri}">{cells}</row>')
+        sheet_xmls[f"xl/worksheets/sheet{si}.xml"] = (
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+        )
+    wb_sheets = "".join(
+        f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, name in enumerate(sheets, 1)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>{wb_sheets}</sheets></workbook>')
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">{rels}</Relationships>',
+        )
+        z.writestr("xl/sharedStrings.xml", f'<?xml version="1.0"?><sst {ns}>{sst}</sst>')
+        for p, xml in sheet_xmls.items():
+            z.writestr(p, xml)
+
+
+def test_xlsx_parse_and_type(ray_session, tmp_path):
+    from seronet_data_validator_ray.sources.xlsx_source import parse_xlsx, read_xlsx_typed
+    from seronet_data_validator_ray.util import ds_to_table
+
+    path = str(tmp_path / "sub.xlsx")
+    _write_xlsx(
+        path,
+        {
+            "samples": [
+                ["sample_id", "visit", "score", "note", "Unnamed: 4"],
+                ["s_001", 1, 2.5, "ok–fine", ""],
+                ["", "", "", "", ""],  # all-empty row -> dropped by cleanup
+                ["echo", "echo", "echo", "echo", "echo"],  # col-0 echo -> dropped
+                ["s_002", 7, 0.25, "plain", ""],
+            ],
+            "meta": [["k", "v"], ["owner", "lab–3"]],
+        },
+    )
+    raw = parse_xlsx(path)
+    assert set(raw) == {"samples", "meta"}
+    assert raw["samples"].num_rows == 4  # header consumed, junk still present
+    assert raw["samples"].column_names[:4] == ["sample_id", "visit", "score", "note"]
+
+    typed = ds_to_table(read_xlsx_typed(path, "samples", force_str=("sample_id",)))
+    assert typed.column_names == ["sample_id", "visit", "score", "note"]  # Unnamed dropped
+    assert typed.num_rows == 2  # junk rows dropped
+    assert typed["visit"].type == pa.int64()
+    assert typed["score"].type == pa.float64()
+    assert typed["note"].to_pylist() == ["ok-fine", "plain"]  # en-dash normalized
+    assert typed["sample_id"].type == pa.string()
+
+    meta = ds_to_table(read_xlsx_typed(path, "meta"))
+    assert meta.to_pylist() == [{"k": "owner", "v": "lab-3"}]
+
+
+def test_xlsx_dir_fanout(ray_session, tmp_path):
+    from seronet_data_validator_ray.sources.xlsx_source import read_xlsx_dir
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"wb{i}.xlsx")
+        _write_xlsx(p, {"samples": [["id", "n"], [f"a{i}", i], [f"b{i}", i * 10]]})
+        paths.append(p)
+    ds = read_xlsx_dir(paths, "samples")
+    rows = ds.take_all()
+    assert len(rows) == 6
+    assert {r["partition"] for r in rows} == {"wb0.xlsx", "wb1.xlsx", "wb2.xlsx"}

@@ -51,11 +51,15 @@ def _warmup(num_cpus: int):
     import ray.data
 
     def touch(batch):
-        import numpy  # noqa: F401
+        import numpy as _np
         import pyarrow.compute  # noqa: F401
 
+        import seronet_data_validator_ray.functions.dedup  # noqa: F401
         import seronet_data_validator_ray.stages.evaluate  # noqa: F401
 
+        # fault in enough pages that the first timed kernel runs warm
+        a = _np.arange(1_000_000, dtype=_np.int64)
+        _np.minimum.reduceat(a, a[:10] + 1)
         return batch
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
@@ -192,20 +196,28 @@ def _hw_burn(_):
     return time.perf_counter() - t0
 
 
-def hw_calibration(lo: int, hi: int) -> dict:
+def _hw_rate(n: int) -> float:
+    """Aggregate tasks/sec of the numpy streaming workload at n processes."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as p:
+        times = p.map(_hw_burn, range(n))
+    return n / (sum(times) / len(times))
+
+
+def hw_calibration(lo: int, hi: int, rates: dict | None = None) -> dict:
     """Memory-bandwidth ceiling of THIS machine, measured with plain numpy
     (no Ray): per-process wall of the same streaming workload at lo and hi
     concurrent processes. A single-node sandbox shares ONE memory bus across
     all 'cluster sizes', so any streaming engine's measured N->4N efficiency
     is bounded by this hardware ratio — on a real 4x-node cluster each node
-    brings its own memory bandwidth and the bound disappears."""
-    import multiprocessing as mp
+    brings its own memory bandwidth and the bound disappears.
 
-    out = {}
-    for n in (lo, hi):
-        with mp.Pool(n) as p:
-            times = p.map(_hw_burn, range(n))
-        out[n] = n / (sum(times) / len(times))  # aggregate tasks/sec
+    When ``rates`` is given it holds window-matched measurements taken
+    immediately around each engine leg (this host's noisy-neighbor load
+    swings 2x+ between minutes, so calibrating in a different window than
+    the engine run makes the ratio meaningless)."""
+    out = rates or {n: _hw_rate(n) for n in (lo, hi)}
     hw_eff = out[hi] / (out[lo] * (hi / lo))
     return {"tasks_per_sec": {str(k): round(v, 3) for k, v in out.items()},
             "hw_scaling_efficiency": round(hw_eff, 4)}
@@ -214,7 +226,11 @@ def hw_calibration(lo: int, hi: int) -> dict:
 def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
     _scale_input()  # generate once so both runs time only the pipeline
     runs = {}
+    rates: dict[int, float] = {}
     for n in (lo, hi):
+        # bracket the engine leg with hardware calibration so the ceiling is
+        # measured in the SAME noisy-neighbor window as the engine run
+        r_before = _hw_rate(n)
         proc = subprocess.run(
             [
                 sys.executable, __file__, "--headline-only", "--scale-input",
@@ -228,9 +244,11 @@ def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
             raise RuntimeError(f"scaling run at {n} cpus failed: {proc.stderr[-2000:]}")
         line = proc.stdout.strip().splitlines()[-1]
         runs[n] = json.loads(line)
+        r_after = _hw_rate(n)
+        rates[n] = (r_before + r_after) / 2
     tput_lo, tput_hi = runs[lo]["rows_per_sec"], runs[hi]["rows_per_sec"]
     eff = tput_hi / (tput_lo * (hi / lo))
-    hw = hw_calibration(lo, hi)
+    hw = hw_calibration(lo, hi, rates=rates)
     hw_eff = hw["hw_scaling_efficiency"]
     return {
         "metric": "scaling efficiency (throughput@4N / (4 x throughput@N))",

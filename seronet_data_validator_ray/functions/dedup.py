@@ -313,6 +313,8 @@ def _split_by_bkey(block: pa.Table, p_bits: int):
     return tuple(sorted_block.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i])) for i in range(P))
 
 
+_REMOTE_FNS: dict = {}  # cached ray.remote wrappers (bounded: one per fn/P)
+
 # emitted-row count below which candidate generation reduces on the driver:
 # pair volume is quadratic in block-group sizes, so even a few thousand
 # emitted rows can enumerate tens of millions of pairs — parallelize early
@@ -346,8 +348,15 @@ def _bucketed_pair_exchange(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         p_bits = max(3, min(6, ncpu.bit_length() - 1))
     P = 1 << p_bits
-    split_remote = ray.remote(num_returns=P)(_split_by_bkey)
-    reduce_remote = ray.remote(reduce_fn)
+    # remote wrappers are cached so repeat exchanges reuse the exported
+    # function definitions instead of re-registering them cluster-wide
+    key_s, key_r = ("split", P), ("reduce", reduce_fn)
+    if key_s not in _REMOTE_FNS:
+        _REMOTE_FNS[key_s] = ray.remote(num_returns=P)(_split_by_bkey)
+    if key_r not in _REMOTE_FNS:
+        _REMOTE_FNS[key_r] = ray.remote(reduce_fn)
+    split_remote = _REMOTE_FNS[key_s]
+    reduce_remote = _REMOTE_FNS[key_r]
     split_refs = [split_remote.remote(b, p_bits) for b in refs]
     state_ref = ray.put(state) if state is not None else None
     out_refs = [

@@ -62,6 +62,63 @@ def tumbling_window(
     return tbl.select(names)
 
 
+def sliding_window(
+    ds,
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    slide_us: int = 1_800_000_000,
+    value_col: str | None = None,
+) -> pa.Table:
+    """Sliding-window aggregate (window W sliding by S, S | W): each event is
+    emitted to its W/S covering windows INSIDE a per-batch Arrow combiner, so
+    only tiny (window_start, n, sum) partials leave the stage; the final
+    merge is one driver-side group_by over window-count-sized rows (swap for
+    the bucketed exchange if the window set itself is huge).
+
+    Returns (window_start_us, n[, sum_value_cents])."""
+    k = window_us // slide_us
+    assert window_us % slide_us == 0, "slide must divide window"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (t // slide_us) * slide_us
+        ws = np.concatenate([base - i * slide_us for i in range(k)])
+        cols = {"ws": ws}
+        if value_col is not None:
+            cents = (
+                pc.cast(
+                    pc.round(
+                        pc.multiply(pc.cast(batch[value_col], pa.float64()), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                )
+                .to_numpy(zero_copy_only=False)
+            )
+            cols["cents"] = np.tile(cents, k)
+        t2 = pa.table(
+            {n: pa.array(v, type=pa.int64()) for n, v in cols.items()}
+        )
+        aggs = [("ws", "count")] + ([("cents", "sum")] if value_col else [])
+        g = t2.group_by("ws").aggregate(aggs)
+        names = {"ws_count": "n", "cents_sum": "sum_value_cents"}
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    parts = ds_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_cols = ["window_start_us", "n"] + (["sum_value_cents"] if value_col else [])
+    if parts.num_rows == 0:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in out_cols})
+    aggs = [("n", "sum")] + ([("sum_value_cents", "sum")] if value_col else [])
+    g = parts.group_by("ws").aggregate(aggs)
+    names = {"ws": "window_start_us", "n_sum": "n", "sum_value_cents_sum": "sum_value_cents"}
+    g = g.rename_columns([names.get(c, c) for c in g.column_names])
+    return g.select(out_cols)
+
+
 def _session_partials(batch: pa.Table, user_col: str, ts_col: str, gap_us: int) -> pa.Table:
     """Per-block per-user session summary over (user, ts)-sorted rows —
     vectorized segment reduction across EVERY user in the block at once.

@@ -469,6 +469,32 @@ def events_hourly(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "events_sliding",
+    """
+WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+w AS (
+  SELECT (t // 1800000000) * 1800000000 AS ws, value FROM e
+  UNION ALL
+  SELECT (t // 1800000000) * 1800000000 - 1800000000 AS ws, value FROM e
+)
+SELECT ws AS window_start_us, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM w GROUP BY ws
+""",
+)
+def events_sliding(sf_dir: str) -> pa.Table:
+    """Sliding-window aggregate (1 h window, 30 min slide): per-batch Arrow
+    combiner emits each event into its 2 covering windows, tiny partials
+    merge driver-side — the streaming-window family the reference lacks
+    (SURVEY §2.9)."""
+    from seronet_data_validator_ray.functions.windows import sliding_window
+
+    return sliding_window(
+        _read(sf_dir, "events", columns=["ts", "value"]), ts_col="ts", value_col="value"
+    )
+
+
+@query(
     "events_json_k",
     """
 SELECT event_type, count(*) AS n,

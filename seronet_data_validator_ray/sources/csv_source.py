@@ -115,6 +115,24 @@ def cast_batch(batch: pa.Table, decided: dict[str, pa.DataType]) -> pa.Table:
     return pa.table(out)
 
 
+_UNIT_SUFFIX_RE = __import__("re").compile(r" \((?:cells/mL|mL|Years|Days|min|hrs)\)")
+
+
+def clean_column_name(name: str) -> str:
+    """≙ clean_up_column_names (/root/reference/File_Submission_Object.py:9-19):
+    strip unit-suffix parentheticals, degree marks, normalize '-80' freezer
+    labels and dashes to underscores."""
+    name = _UNIT_SUFFIX_RE.sub("", name)
+    name = name.replace("°C", "").replace("-80", "80").replace("-", "_")
+    return name.strip()
+
+
+def clean_column_names_batch(batch: pa.Table) -> pa.Table:
+    """Header-sanitizing rename stage (SURVEY §2.2 M1) — per-batch metadata
+    work only, no data movement."""
+    return batch.rename_columns([clean_column_name(c) for c in batch.column_names])
+
+
 def cleanup_batch(batch: pa.Table) -> pa.Table:
     """≙ cleanup_table (/root/reference/File_Submission_Object.py:125-138),
     vectorized over the all-string batch:

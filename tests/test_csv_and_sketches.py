@@ -109,3 +109,23 @@ def test_reconcile_keys_distributed_2m(ray_session):
     assert lo == [0, 1, 2, 3, 4]
     assert ro == [N, N + 1, N + 2, N + 3, N + 4]
     assert len(out) == 10
+
+
+def test_clean_column_names():
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.sources.csv_source import clean_column_names_batch
+
+    t = pa.table(
+        {
+            "Total_Cells (cells/mL)": [1],
+            "Volume (mL)": [2],
+            "Storage Temp °C": [3],
+            "Freezer (-80)".replace("(-80)", "-80"): [4],
+            "Visit-Date": [5],
+        }
+    )
+    out = clean_column_names_batch(t)
+    assert out.column_names == [
+        "Total_Cells", "Volume", "Storage Temp", "Freezer 80", "Visit_Date",
+    ]

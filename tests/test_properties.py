@@ -198,3 +198,83 @@ def test_datagen_gather_roundtrip(lens, seed, rpf, tmp_path_factory):
     for out_i, r in enumerate(np.sort(rows)):
         want = values[offsets[r] : offsets[r + 1]].tolist()
         assert arr[out_i].as_py() == want
+
+
+@settings(**SET)
+@given(
+    live=st.lists(st.integers(0, 600), min_size=1, max_size=60),
+    total=st.lists(st.integers(0, 600), min_size=1, max_size=60),
+    seed=st.integers(0, 10**6),
+)
+def test_ratio_eq_matches_decimal_half_away(live, total, seed):
+    """ratio_eq's integer-tenths compare == exact decimal half-away rounding."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from seronet_data_validator_ray.rules.kernels import k_ratio_eq
+
+    n = min(len(live), len(total))
+    live, total = live[:n], total[:n]
+    rng = np.random.default_rng(seed)
+    # declared value: sometimes the true rounded ratio, sometimes off
+    declared = []
+    for l, t in zip(live, total):
+        if t == 0:
+            declared.append(None if rng.random() < 0.5 else 55.5)
+        else:
+            true = float(Decimal(1000 * l) / Decimal(t) / 10)
+            declared.append(true if rng.random() < 0.5 else true + 7.7)
+    tbl = pa.table(
+        {
+            "v": pa.array(declared, type=pa.float64()),
+            "l": pa.array(live, type=pa.int64()),
+            "t": pa.array(total, type=pa.int64()),
+        }
+    )
+    mask, _obs = k_ratio_eq(tbl, "v", {"num": "l", "den": "t"}, {})
+    for i, (l, t, d) in enumerate(zip(live, total, declared)):
+        if d is None or t == 0:
+            assert not mask[i]
+            continue
+        want = (Decimal(100 * l) / Decimal(t)).quantize(Decimal("0.1"), ROUND_HALF_UP)
+        got_tenths = (Decimal(str(d)) * 10).quantize(Decimal("1"), ROUND_HALF_UP)
+        assert bool(mask[i]) == (want * 10 != got_tenths), (l, t, d)
+
+
+@settings(**SET)
+@given(
+    years=st.lists(st.integers(1900, 2024), min_size=1, max_size=40),
+    values=st.lists(st.integers(0, 4000), min_size=1, max_size=40),
+    units=st.lists(st.sampled_from(["Day", "Week", "Month", "Year"]), min_size=1, max_size=40),
+)
+def test_duration_future_matches_datetime(years, values, units):
+    """duration_future's vectorized day arithmetic == datetime.date, and the
+    month/year branches == the reference's integer formulas."""
+    import datetime
+
+    from seronet_data_validator_ray.rules.kernels import k_duration_future
+
+    n = min(len(years), len(values), len(units))
+    years, values, units = years[:n], values[:n], units[:n]
+    tbl = pa.table(
+        {
+            "v": pa.array([float(v) for v in values], type=pa.float64()),
+            "u": pa.array(units, type=pa.string()),
+            "y": pa.array(years, type=pa.int32()),
+        }
+    )
+    ref = datetime.date(2024, 6, 15)
+    mask, _ = k_duration_future(
+        tbl, "v", {"unit_col": "u", "year_col": "y", "ref_date": "2024-06-15"}, {}
+    )
+    for i in range(n):
+        v, u, y = values[i], units[i], years[i]
+        if u == "Day":
+            want = v > (ref - datetime.date(y, 1, 1)).days
+        elif u == "Month":
+            want = v + 12 * y > 12 * ref.year + ref.month
+        elif u == "Year":
+            want = v + y > ref.year
+        else:  # Week: the reference has no branch for it
+            want = False
+        assert bool(mask[i]) == want, (v, u, y)

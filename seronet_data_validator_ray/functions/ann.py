@@ -235,6 +235,128 @@ class IvfSearch:
         )
 
 
+def _vec_to_binary(mat: np.ndarray) -> pa.Array:
+    """(n, d) float32 rows packed into a binary column (Acero/exchange-safe)."""
+    m = np.ascontiguousarray(mat, dtype=np.float32)
+    n, d = m.shape
+    offs = (np.arange(n + 1, dtype=np.int64) * d * 4).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())]
+    )
+
+
+def _binary_to_vec(col, dim: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    voffs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(data[voffs[0] : voffs[-1]]).view("<f4")
+    return flat.reshape(n, dim)
+
+
+class _IvfBucketEmitter:
+    """Emit each vector to its IVF_NPROBE nearest-centroid buckets (LIGHT-ish
+    rows: bkey + id + the packed float32 vector, which the within-bucket
+    verify genuinely needs). Multi-probe emission means any pair whose probe
+    sets intersect is caught."""
+
+    def __init__(self, cents_ref):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vmat = _normalize(_stack(batch)).astype(np.float32)
+        probes = np.argsort(-(vmat @ self.cents.T.astype(np.float32)), axis=1)[:, :IVF_NPROBE]
+        n = len(vids)
+        rep = np.tile(np.arange(n), IVF_NPROBE)
+        return pa.table(
+            {
+                "bkey": pa.array(probes.T.reshape(-1).astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(vids[rep], type=pa.int64()),
+                "vec": _vec_to_binary(vmat[rep]),
+            }
+        )
+
+
+def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
+    """Within-bucket exact cosine pairs at tau: segmented pair enumeration +
+    one per-pair dot product (O(pairs x dim), vectorized)."""
+    empty = pa.table(
+        {
+            "vec_id_a": pa.array([], type=pa.int64()),
+            "vec_id_b": pa.array([], type=pa.int64()),
+            "sim_u": pa.array([], type=pa.int64()),
+        }
+    )
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return empty
+    from seronet_data_validator_ray.functions.dedup import _segment_pairs
+
+    t = pa.concat_tables(parts)
+    bkey = t["bkey"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    dim = len(t["vec"][0].as_py()) // 4
+    mat = _binary_to_vec(t["vec"], dim)
+    order = np.argsort(bkey, kind="stable")
+    a_idx, b_idx = _segment_pairs(bkey[order])
+    if not len(a_idx):
+        return empty
+    ids_s, mat_s = ids[order], mat[order]
+    da, db = ids_s[a_idx], ids_s[b_idx]
+    keep = da != db
+    a_idx, b_idx, da, db = a_idx[keep], b_idx[keep], da[keep], db[keep]
+    sims = np.einsum("ij,ij->i", mat_s[a_idx].astype(np.float64), mat_s[b_idx].astype(np.float64))
+    units = np.floor(1e6 * sims).astype(np.int64)
+    keep = units >= COSINE_TAU_UNITS
+    lo, hi = np.minimum(da, db)[keep], np.maximum(da, db)[keep]
+    out = pa.table(
+        {
+            "vec_id_a": pa.array(lo, type=pa.int64()),
+            "vec_id_b": pa.array(hi, type=pa.int64()),
+            "sim_u": pa.array(units[keep], type=pa.int64()),
+        }
+    )
+    if out.num_rows == 0:
+        return empty
+    return out.group_by(out.column_names).aggregate([])
+
+
+def cosine_near_dup_ivf(sf_dir: str) -> pa.Table:
+    """The SCALE path for embedding near-dup (stated escalation of
+    cosine_near_dup's broadcast-corpus baseline): centroids fit on a bounded
+    driver sample and broadcast; every vector routes to its IVF_NPROBE
+    nearest buckets; within-bucket exact cosine pairs at tau via the raw-Ray
+    bucketed exchange — no corpus broadcast, no all-pairs matmul.
+    Approximate: a pair sharing no probed bucket is missed; recall vs the
+    exact join is asserted in tests."""
+    import ray
+    import ray.data
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    ids, mat = _corpus(sf_dir)
+    cents = _kmeans_fit(mat[:IVF_SAMPLE], IVF_CLUSTERS, IVF_ITERS)
+    cents_ref = ray.put(cents)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emitted = ds.map_batches(
+        _IvfBucketEmitter,
+        fn_constructor_kwargs={"cents_ref": cents_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )
+    pairs = _bucketed_pair_exchange(emitted, _reduce_cosine_bucket)
+    if pairs.num_rows == 0:
+        return pairs
+    return pairs.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
 def ann_ivf(sf_dir: str) -> pa.Table:
     """IVF top-k: approximate (probes IVF_NPROBE of IVF_CLUSTERS lists).
     Recall vs knn_brute_force is asserted in tests, not here."""

@@ -152,6 +152,16 @@ def cosine_near_dup(sf_dir: str) -> pa.Table:
     return ann.cosine_near_dup(sf_dir)
 
 
+@query("cosine_near_dup_ivf", None)
+def cosine_near_dup_ivf(sf_dir: str) -> pa.Table:
+    """IVF-bucketed embedding near-dup — the 100 TB path (no corpus
+    broadcast): multi-probe bucket routing + within-bucket exact cosine.
+    Rows-only; recall + per-pair sim parity vs the exact join in tests."""
+    from seronet_data_validator_ray.functions import ann
+
+    return ann.cosine_near_dup_ivf(sf_dir)
+
+
 _KNN_SQL = """
 WITH sims AS (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,

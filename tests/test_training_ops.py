@@ -190,3 +190,18 @@ def test_sessionize_multiblock_matches_bruteforce(ray_session):
 
     exp = pd.DataFrame(rows)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cosine_near_dup_ivf_recall(ray_session):
+    """IVF-bucketed near-dup: every reported pair must carry the EXACT
+    similarity of the brute-force join, and recall must be high."""
+    from seronet_data_validator_ray.functions import ann
+
+    exact = ann.cosine_near_dup(SF).to_pandas()
+    approx = ann.cosine_near_dup_ivf(SF).to_pandas()
+    e = {(a, b): s for a, b, s in zip(exact.vec_id_a, exact.vec_id_b, exact.sim_u)}
+    a = {(x, y): s for x, y, s in zip(approx.vec_id_a, approx.vec_id_b, approx.sim_u)}
+    assert set(a) <= set(e), "IVF must not invent pairs (verify is exact)"
+    assert all(e[k] == v for k, v in a.items()), "reported sims must be exact"
+    assert len(e) > 0
+    assert len(a) / len(e) >= 0.6, f"recall too low: {len(a)}/{len(e)}"

@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "pricing_summary",
     "revenue_by_region",
     "events_hourly",
+    "events_sliding",
     "orders_enriched",
     "seq_violations",
     "seq_dup_ids",
@@ -129,9 +130,15 @@ QUERY_NAMES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
+    "dedup_simhash",
     "knn_brute_force",
+    "cosine_near_dup_ivf",
     "text_quality",
     "events_asof_join",
+    "clinical_duration_rules",
+    "clinical_viability_rules",
+    "submission_violations",
+    "csv_cleanup",
 ]
 
 

@@ -61,9 +61,13 @@ def normalize_column_batch(
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    import pyarrow.compute as pc
+
     enc = col.dictionary_encode()
     mapped = canonicalize(enc.dictionary.to_pylist(), canon, max_dist)
-    idx = enc.indices.to_numpy(zero_copy_only=False)
+    # null rows encode as null indices; fill with -1 BEFORE to_numpy (a null
+    # int index would otherwise surface as NaN and break the fancy lookup)
+    idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
     lookup = np.asarray(mapped, dtype=object)
     vals = np.where(idx >= 0, lookup[np.maximum(idx, 0)], None)
     return batch.append_column(out_col, pa.array(vals.tolist(), type=pa.string()))

@@ -511,6 +511,7 @@ def validate(
             f
             for f in _glob.glob(os.path.join(viol_dir, "*.parquet"))
             if not f.endswith("global-dups.parquet")  # raw dup keys, not violation rows
+            and not os.path.basename(f).startswith("wave-")  # pre-round-2 layout
         )
         tabs = [pq.read_table(f) for f in vfiles]
         tabs = [t.cast(VIOLATION_SCHEMA) for t in tabs if len(t)]

@@ -65,6 +65,23 @@ def _warmup(num_cpus: int):
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         touch, batch_size=None
     ).materialize()
+    # touch the raw bucketed-exchange path once: exports the remote function
+    # definitions and warms the worker-side kernels (steady state is what a
+    # long-lived cluster measures)
+    import pyarrow as pa
+
+    import ray.data as rd
+    from seronet_data_validator_ray.functions import dedup
+
+    t = pa.table(
+        {
+            "bkey": pa.array([1, 1, 2], type=pa.int64()),
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    dedup._bucketed_pair_exchange(
+        rd.from_arrow(t), dedup._reduce_jaccard_bucket, driver_max_rows=0
+    )
 
 
 import ray  # noqa: E402  (used by _warmup after _init_ray)

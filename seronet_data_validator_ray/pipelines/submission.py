@@ -110,6 +110,21 @@ def _table_ds(spec: TableSpec, columns: list[str]):
     return ray.data.read_parquet(_table_files(spec), columns=columns)
 
 
+def _auto_partitions(*specs: TableSpec) -> int:
+    """Hash-join partition count sized from parquet footer row counts: each
+    shuffle partition spawns an aggregator actor, so small inputs must not
+    pay for 32 of them (~1M rows per partition, clamped to [2, CPUs])."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rows = 0
+    for spec in specs:
+        for f in _table_files(spec):
+            rows += pq.ParquetFile(f).metadata.num_rows
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(ncpu, rows // 1_000_000 + 1))
+
+
 def _cents(col) -> pa.Array:
     return pc.cast(
         pc.round(
@@ -142,7 +157,10 @@ def _run_key_check(check: CrossKeyCheck, tables: dict[str, TableSpec]) -> pa.Tab
 
     left = _table_ds(tables[check.left_table], [check.left_key])
     right = _table_ds(tables[check.right_table], [check.right_key])
-    rec = reconcile_keys(left, right, check.left_key, check.right_key)
+    rec = reconcile_keys(
+        left, right, check.left_key, check.right_key,
+        num_partitions=_auto_partitions(tables[check.left_table], tables[check.right_table]),
+    )
     out = []
     for side, table, column in (
         ("left_only", check.left_table, check.left_key),
@@ -162,7 +180,6 @@ def _run_key_check(check: CrossKeyCheck, tables: dict[str, TableSpec]) -> pa.Tab
 
 
 def _run_sum_check(check: CrossSumCheck, tables: dict[str, TableSpec]) -> pa.Table:
-    import ray
     from ray.data.aggregate import Sum
 
     from seronet_data_validator_ray.util import ds_to_table
@@ -185,11 +202,10 @@ def _run_sum_check(check: CrossSumCheck, tables: dict[str, TableSpec]) -> pa.Tab
             {check.dim_key: batch[check.dim_key], "declared_cents": _cents(batch[check.declared_col])}
         )
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
     joined = dim.map_batches(dim_cents, batch_format="pyarrow", zero_copy_batch=True).join(
         computed,
         join_type="inner",
-        num_partitions=max(4, min(32, ncpu)),
+        num_partitions=_auto_partitions(tables[check.dim_table], tables[check.fact_table]),
         on=(check.dim_key,),
         right_on=(key,),
     )

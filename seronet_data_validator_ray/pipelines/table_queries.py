@@ -286,11 +286,14 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
         li_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    from seronet_data_validator_ray.util import auto_join_partitions
+
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=max(4, min(32, ncpu)),
+        num_partitions=auto_join_partitions(
+            os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet")
+        ),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -654,10 +657,14 @@ def order_total_consistency(sf_dir: str) -> pa.Table:
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
         o_cents, batch_format="pyarrow", zero_copy_batch=True
     )
+    from seronet_data_validator_ray.util import auto_join_partitions
+
     joined = orders.join(
         computed,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=auto_join_partitions(
+            os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")
+        ),
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )

@@ -5,6 +5,18 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def auto_join_partitions(*parquet_paths: str, rows_per_partition: int = 1_000_000) -> int:
+    """Hash-join partition count from parquet footer row counts: each
+    shuffle partition spawns an aggregator actor, so small inputs must not
+    pay for CPUs-many of them; clamped to [2, CPUs]."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parquet_paths)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(ncpu, rows // rows_per_partition + 1))
+
+
 def ds_to_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     """Collect a (small) Dataset to one driver-side Arrow table.
 

@@ -126,3 +126,28 @@ def test_token_array_round_trip(clean_dir):
         for d, tok in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
             want[d] = tok
     assert got == want
+
+
+def test_eval_modes_agree(ray_session):
+    """eval_mode='tasks' (warm worker pool) and 'actors' (fixed pool) must
+    produce identical violation sets — same kernels, different scheduling."""
+    import collections
+
+    from seronet_data_validator_ray.datagen import SEQUENCES_SCHEMA, SOURCES
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+
+    d = ensure_seq("/root/testdata/sf0.001")
+    outs = {}
+    for mode in ("actors", "tasks"):
+        res = validate(
+            d,
+            sequences_rules(),
+            expected_schema=SEQUENCES_SCHEMA,
+            broadcast={"allowed_sources": SOURCES},
+            eval_mode=mode,
+        )
+        outs[mode] = collections.Counter(res.violations["rule_id"].to_pylist())
+    assert outs["actors"] == outs["tasks"]
+    assert sum(outs["actors"].values()) > 0

@@ -256,7 +256,11 @@ def run_scaling_attempts(sf_dir: str, lo: int, hi: int, attempts: int) -> dict:
     scaling is the least-noise-poisoned pair, with the full distribution
     attached for the reader."""
     results = [run_scaling(sf_dir, lo, hi) for _ in range(attempts)]
-    best = max(results, key=lambda r: r["value"])
+    # super-linear efficiency (> 1.0) can only mean the lo leg was
+    # noise-slowed — selecting it would headline the MOST poisoned pair, so
+    # such attempts are excluded from the headline (still recorded below)
+    sane = [r for r in results if r["value"] <= 1.0] or results
+    best = max(sane, key=lambda r: r["value"])
     best = dict(best)
     best["attempts"] = [
         {

@@ -236,10 +236,13 @@ class IvfSearch:
 
 
 def _vec_to_binary(mat: np.ndarray) -> pa.Array:
-    """(n, d) float32 rows packed into a binary column (Acero/exchange-safe)."""
-    m = np.ascontiguousarray(mat, dtype=np.float32)
+    """(n, d) float64 rows packed into a binary column (Acero/exchange-safe).
+    float64 so in-bucket sims are BIT-IDENTICAL to the exact brute-force
+    path (float32 rounding shifted sims by up to ~0.07 micro-units across
+    the floor() boundary)."""
+    m = np.ascontiguousarray(mat, dtype=np.float64)
     n, d = m.shape
-    offs = (np.arange(n + 1, dtype=np.int64) * d * 4).astype(np.int32)
+    offs = (np.arange(n + 1, dtype=np.int64) * d * 8).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())]
     )
@@ -250,10 +253,10 @@ def _binary_to_vec(col, dim: int) -> np.ndarray:
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return np.zeros((0, dim), dtype=np.float32)
+        return np.zeros((0, dim), dtype=np.float64)
     voffs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    flat = np.ascontiguousarray(data[voffs[0] : voffs[-1]]).view("<f4")
+    flat = np.ascontiguousarray(data[voffs[0] : voffs[-1]]).view("<f8")
     return flat.reshape(n, dim)
 
 
@@ -270,8 +273,8 @@ class _IvfBucketEmitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vmat = _normalize(_stack(batch)).astype(np.float32)
-        probes = np.argsort(-(vmat @ self.cents.T.astype(np.float32)), axis=1)[:, :IVF_NPROBE]
+        vmat = _normalize(_stack(batch))  # float64 end to end (sim parity)
+        probes = np.argsort(-(vmat @ self.cents.T), axis=1)[:, :IVF_NPROBE]
         n = len(vids)
         rep = np.tile(np.arange(n), IVF_NPROBE)
         return pa.table(
@@ -301,7 +304,7 @@ def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
     t = pa.concat_tables(parts)
     bkey = t["bkey"].to_numpy(zero_copy_only=False)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    dim = len(t["vec"][0].as_py()) // 4
+    dim = len(t["vec"][0].as_py()) // 8
     mat = _binary_to_vec(t["vec"], dim)
     order = np.argsort(bkey, kind="stable")
     a_idx, b_idx = _segment_pairs(bkey[order])
@@ -311,7 +314,7 @@ def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
     da, db = ids_s[a_idx], ids_s[b_idx]
     keep = da != db
     a_idx, b_idx, da, db = a_idx[keep], b_idx[keep], da[keep], db[keep]
-    sims = np.einsum("ij,ij->i", mat_s[a_idx].astype(np.float64), mat_s[b_idx].astype(np.float64))
+    sims = np.einsum("ij,ij->i", mat_s[a_idx], mat_s[b_idx])
     units = np.floor(1e6 * sims).astype(np.int64)
     keep = units >= COSINE_TAU_UNITS
     lo, hi = np.minimum(da, db)[keep], np.maximum(da, db)[keep]
@@ -335,13 +338,21 @@ def cosine_near_dup_ivf(sf_dir: str) -> pa.Table:
     bucketed exchange — no corpus broadcast, no all-pairs matmul.
     Approximate: a pair sharing no probed bucket is missed; recall vs the
     exact join is asserted in tests."""
+    import pyarrow.parquet as _pq
     import ray
     import ray.data
 
     from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
 
-    ids, mat = _corpus(sf_dir)
-    cents = _kmeans_fit(mat[:IVF_SAMPLE], IVF_CLUSTERS, IVF_ITERS)
+    # centroid fit needs only a bounded sample — stream the first rows, never
+    # materialize the corpus on the driver (this IS the no-broadcast path)
+    pf = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=IVF_SAMPLE, columns=["embedding"]))
+    sample = _normalize(
+        first.column(0).flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(first), -1)
+    )
+    cents = _kmeans_fit(sample, IVF_CLUSTERS, IVF_ITERS)
     cents_ref = ray.put(cents)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     emitted = ds.map_batches(

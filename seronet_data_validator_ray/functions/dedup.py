@@ -574,6 +574,15 @@ def _corpus_bitset_state(docs_ds) -> dict | None:
 
     if docs_ds.count() > DRIVER_VERIFY_MAX_DOCS:
         return None
+    # cheap byte gate BEFORE collecting anything: the token-hash table is at
+    # most text-sized, so if the corpus itself dwarfs the bitset budget the
+    # dense plan cannot apply — skip the driver collect entirely
+    try:
+        est_bytes = docs_ds.size_bytes()
+    except Exception:
+        est_bytes = None
+    if est_bytes is not None and est_bytes > 8 * BITSET_BYTES_MAX:
+        return None
     tok_tbl = ds_to_table(
         docs_ds.map_batches(_all_tokens_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
@@ -672,6 +681,7 @@ def prefix_emit_batch(batch: pa.Table, order_ref=None) -> pa.Table:
             {
                 "bkey": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
+                "sz": pa.array([], type=pa.int32()),
             }
         )
     # per-batch-vocabulary lookup (the only Python loop, vocab-bounded)
@@ -748,6 +758,7 @@ def minhash_emit_batch(batch: pa.Table) -> pa.Table:
             {
                 "bkey": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
+                "sz": pa.array([], type=pa.int32()),
             }
         )
     hv = (flat % np.uint64(MERSENNE31)).astype(np.int64)

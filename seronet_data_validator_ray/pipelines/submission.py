@@ -111,18 +111,9 @@ def _table_ds(spec: TableSpec, columns: list[str]):
 
 
 def _auto_partitions(*specs: TableSpec) -> int:
-    """Hash-join partition count sized from parquet footer row counts: each
-    shuffle partition spawns an aggregator actor, so small inputs must not
-    pay for 32 of them (~1M rows per partition, clamped to [2, CPUs])."""
-    import pyarrow.parquet as pq
-    import ray
+    from seronet_data_validator_ray.util import auto_join_partitions
 
-    rows = 0
-    for spec in specs:
-        for f in _table_files(spec):
-            rows += pq.ParquetFile(f).metadata.num_rows
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(ncpu, rows // 1_000_000 + 1))
+    return auto_join_partitions(*[f for s in specs for f in _table_files(s)])
 
 
 def _cents(col) -> pa.Array:

@@ -101,6 +101,14 @@ def parse_xlsx(path: str) -> dict[str, pa.Table]:
                 out[name] = pa.table({})
                 continue
             header = [rows[0].get(c, f"Unnamed: {c}") or f"Unnamed: {c}" for c in range(max_col + 1)]
+            # disambiguate duplicate headers pandas-style (value, value.1, ...)
+            seen: dict[str, int] = {}
+            uniq_header = []
+            for h in header:
+                k = seen.get(h, 0)
+                seen[h] = k + 1
+                uniq_header.append(h if k == 0 else f"{h}.{k}")
+            header = uniq_header
             cols: dict[str, list[str]] = {h: [] for h in header}
             for r in rows[1:]:
                 for c, h in enumerate(header):

@@ -69,17 +69,26 @@ def _string_take(col: pa.Array, idx: np.ndarray) -> pa.Array:
     return taken
 
 
-_BROADCAST_CACHE: dict[str, dict] = {}
+import collections as _collections
+
+_BROADCAST_CACHE: dict = _collections.OrderedDict()
+_BROADCAST_CACHE_MAX = 8  # bounded: repeated queries each ray.put fresh refs,
+# and an unbounded per-worker cache would grow for the life of the cluster
 
 
 def _resolve_broadcast(ref) -> dict:
-    """Fetch a broadcast ObjectRef once per worker process (cached)."""
+    """Fetch a broadcast ObjectRef once per worker process (bounded LRU)."""
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.move_to_end(key)
+        return _BROADCAST_CACHE[key]
+    val = ray.get(ref)
+    _BROADCAST_CACHE[key] = val
+    while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.popitem(last=False)
+    return val
 
 
 class RuleEvaluator:

@@ -110,3 +110,15 @@ def test_xlsx_dir_fanout(ray_session, tmp_path):
     rows = ds.take_all()
     assert len(rows) == 6
     assert {r["partition"] for r in rows} == {"wb0.xlsx", "wb1.xlsx", "wb2.xlsx"}
+
+
+def test_xlsx_duplicate_headers(tmp_path):
+    """Duplicate header names must disambiguate pandas-style, not crash."""
+    from seronet_data_validator_ray.sources.xlsx_source import parse_xlsx
+
+    path = str(tmp_path / "dup.xlsx")
+    _write_xlsx(path, {"s": [["id", "value", "value"], ["a", 1, 2], ["b", 3, 4]]})
+    t = parse_xlsx(path)["s"]
+    assert t.column_names == ["id", "value", "value.1"]
+    assert t["value"].to_pylist() == ["1", "3"]
+    assert t["value.1"].to_pylist() == ["2", "4"]

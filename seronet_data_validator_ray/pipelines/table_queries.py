@@ -449,6 +449,97 @@ def top_orders(sf_dir: str) -> pa.Table:
     return _ds_table(ds)
 
 
+@query(
+    "top_orders_per_segment",
+    """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_segment(sf_dir: str) -> pa.Table:
+    """Top-k per group (the window-function family, SURVEY §2.7): per-batch
+    partial top-k per segment inside ``map_batches`` (broadcast custkey ->
+    segment lookup), tiny partials merged driver-side — no shuffle, no sort
+    of the fact table; ties broken (price DESC, orderkey ASC) on both
+    engines."""
+    import numpy as np
+    import ray
+
+    K = 3
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    enc = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    seg_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    seg_names = enc.dictionary.to_pylist()
+    order = np.argsort(ck)
+    dim_ref = ray.put({"ck": ck[order], "code": seg_code[order], "names": seg_names})
+
+    def partial_topk(batch: pa.Table, dim_ref=None) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        d = _resolve_broadcast(dim_ref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d["ck"], custkey)
+        pos[pos == len(d["ck"])] = 0
+        code = d["code"][pos]
+        keep_idx = []
+        o = np.lexsort((okey, -price))  # price DESC, orderkey ASC
+        code_o = code[o]
+        for c in range(len(d["names"])):
+            keep_idx.append(o[code_o == c][:K])
+        sel = np.concatenate(keep_idx) if keep_idx else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    np.asarray(d["names"], dtype=object)[code[sel]], type=pa.string()
+                ),
+                "o_orderkey": pa.array(okey[sel], type=pa.int64()),
+                "o_totalprice": pa.array(price[sel], type=pa.float64()),
+            }
+        )
+
+    parts = _ds_table(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            partial_topk, fn_kwargs={"dim_ref": dim_ref},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    # final merge: partials are <= n_segments * K rows per block
+    segs = parts["c_mktsegment"].to_numpy(zero_copy_only=False)
+    okey = parts["o_orderkey"].to_numpy(zero_copy_only=False)
+    price = parts["o_totalprice"].to_numpy(zero_copy_only=False)
+    out = []
+    for s in sorted(set(segs.tolist())):
+        m = segs == s
+        o = np.lexsort((okey[m], -price[m]))[:K]
+        for i in o:
+            out.append(
+                {
+                    "c_mktsegment": s,
+                    "o_orderkey": int(okey[m][i]),
+                    "o_totalprice": float(price[m][i]),
+                }
+            )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [
+                ("c_mktsegment", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    )
+
+
 # --------------------------------------------------------------- windows / parsing
 
 @query(

@@ -301,6 +301,112 @@ def approx_stats_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+@query("approx_quantiles_by_group", None)
+def approx_quantiles_by_group(sf_dir: str) -> pa.Table:
+    """Per-GROUP t-digest quantiles (sketch aggregation keyed by group — the
+    per-slice latency/length percentile every corpus dashboard needs): one
+    t-digest partial per (group, batch), associative driver merge. Rows-only;
+    accuracy vs the exact per-group quantiles asserted in tests."""
+    import pickle
+
+    import numpy as np
+
+    from seronet_data_validator_ray.sketches import TDigest
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flags = np.asarray(batch["l_returnflag"].to_numpy(zero_copy_only=False), dtype=object)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(float)
+        uniq, gidx = np.unique(flags, return_inverse=True)
+        rows = {"g": [], "sk": []}
+        for i, g in enumerate(uniq):
+            rows["g"].append(str(g))
+            rows["sk"].append(pickle.dumps(TDigest().add_array(price[gidx == i])))
+        return pa.table(
+            {"g": pa.array(rows["g"], type=pa.string()), "sk": pa.array(rows["sk"], type=pa.binary())}
+        )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged: dict[str, object] = {}
+    t = _collect(ds)
+    for g, blob in zip(t["g"].to_pylist(), t["sk"].to_pylist()):
+        td = pickle.loads(blob)
+        if g in merged:
+            merged[g].merge(td)
+        else:
+            merged[g] = td
+    gs = sorted(merged)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(gs, type=pa.string()),
+            "p50_cents": pa.array(
+                [int(round(merged[g].quantile(0.5) * 100)) for g in gs], type=pa.int64()
+            ),
+            "p95_cents": pa.array(
+                [int(round(merged[g].quantile(0.95) * 100)) for g in gs], type=pa.int64()
+            ),
+        }
+    )
+
+
+_TOP_BIGRAMS_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+@query("top_bigrams", _TOP_BIGRAMS_SQL)
+def top_bigrams(sf_dir: str) -> pa.Table:
+    """Top-20 word bigrams by occurrence (the n-gram counting family):
+    per-batch vectorized bigram-id counting (adjacent token-id pairs over
+    the batch dictionary, doc boundaries masked), vocabulary-sized partials,
+    driver merge + deterministic (n DESC, bigram ASC) head."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _offsets_of, _split_tokens
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs or not len(lengths):
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        offs = _offsets_of(lengths)
+        # adjacent pairs within a doc: positions p where p+1 is not a doc start
+        total = int(offs[-1])
+        is_start = np.zeros(total + 1, dtype=bool)
+        is_start[offs[:-1]] = True
+        pos = np.nonzero(~is_start[1:total])[0]  # p+1 not a start, p < total-1
+        a, b = tok_ids[pos], tok_ids[pos + 1]
+        V = len(dict_strs)
+        key = a * V + b
+        uniq, cnt = np.unique(key, return_counts=True)
+        names = np.asarray(dict_strs, dtype=object)
+        bigrams = [f"{names[k // V]} {names[k % V]}" for k in uniq]  # vocab-bounded
+        return pa.table(
+            {
+                "bigram": pa.array(bigrams, type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = parts.group_by("bigram").aggregate([("n", "sum")])
+    g = g.rename_columns([{"n_sum": "n"}.get(c, c) for c in g.column_names])
+    g = g.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, 20)
+    return g.select(["bigram", "n"])
+
+
 # ------------------------------------------------------------------ dedup: exact
 
 _DEDUP_EXACT_SQL = """

@@ -205,3 +205,24 @@ def test_cosine_near_dup_ivf_recall(ray_session):
     assert all(e[k] == v for k, v in a.items()), "reported sims must be exact"
     assert len(e) > 0
     assert len(a) / len(e) >= 0.6, f"recall too low: {len(a)}/{len(e)}"
+
+
+def test_group_quantiles_accuracy(ray_session):
+    """Per-group t-digest quantiles within 2% relative error of exact."""
+    import duckdb
+
+    from seronet_data_validator_ray.functions import op_queries
+
+    got = op_queries.approx_quantiles_by_group(SF).to_pandas().set_index("l_returnflag")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS FROM read_parquet('{SF}/lineitem.parquet')")
+    exact = con.execute(
+        """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) p50,
+                  quantile_cont(l_extendedprice, 0.95) p95
+           FROM lineitem GROUP BY l_returnflag"""
+    ).df().set_index("l_returnflag")
+    con.close()
+    assert set(got.index) == set(exact.index)
+    for g in exact.index:
+        for col, ex in (("p50_cents", exact.loc[g, "p50"] * 100), ("p95_cents", exact.loc[g, "p95"] * 100)):
+            assert abs(got.loc[g, col] - ex) / ex < 0.02, (g, col, got.loc[g, col], ex)

@@ -22,6 +22,8 @@ import pyarrow.parquet as pq
 
 REGISTRY: dict[str, tuple] = {}  # name -> (fn(sf_dir) -> table, sql | None)
 
+DISTINCT_DRIVER_MAX_ROWS = 500_000  # distinct_users_per_type: driver vs exchange
+
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
@@ -447,6 +449,94 @@ def top_orders(sf_dir: str) -> pa.Table:
         .limit(10)
     )
     return _ds_table(ds)
+
+
+@query(
+    "distinct_users_per_type",
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """EXACT distinct-count per group — the holistic aggregate where a hot
+    group key would normally serialize one reducer. Skew-proof by
+    construction: per-batch local-distinct (group, user) pairs, then the
+    raw-Ray exchange keyed on hash(group, user) — a hot event_type's pairs
+    spread uniformly over ALL reducers (this IS the salted-key mitigation of
+    the north rule, with the salt derived from the second key) — each
+    reducer counts its disjoint distinct pairs, and per-group counts just
+    add up driver-side."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import (
+        _bucketed_pair_exchange,  # noqa: F401  (same exchange family)
+        _mix64,
+        _split_by_bkey,
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        t = batch.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+        from seronet_data_validator_ray.functions.dedup import _hash_dictionary
+
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        code = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray(et.dictionary.to_pylist(), dtype=object)
+        # hash the type STRING (batch-local dictionary indices are not stable
+        # across batches) so every copy of a (type, user) pair shares a bkey
+        type_h = _hash_dictionary(et.dictionary.to_pylist())[code]
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # one mixed key over (type, user): the exchange partitions on its top
+        # bits, so pairs of a hot type spread across every reducer
+        h = _mix64((uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ type_h)
+        return pa.table(
+            {
+                "bkey": pa.array(h.view(np.int64), type=pa.int64()),
+                "event_type": pa.array(names[code], type=pa.string()),
+                "user_id": pa.array(uid, type=pa.int64()),
+            }
+        )
+
+    def reduce_counts(*parts, state=None) -> pa.Table:
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return pa.table(
+                {"event_type": pa.array([], type=pa.string()), "n_users": pa.array([], type=pa.int64())}
+            )
+        t = pa.concat_tables(parts)
+        d = t.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
+        g = d.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(
+            [{"user_id_count": "n_users"}.get(c, c) for c in g.column_names]
+        ).select(["event_type", "n_users"])
+
+    emitted = _read(sf_dir, "events", columns=["event_type", "user_id"]).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    import ray  # noqa: F811
+
+    mat = emitted.materialize()
+    refs = mat.to_arrow_refs()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if mat.count() <= DISTINCT_DRIVER_MAX_ROWS:  # small: one driver-side reduce
+        tables = [t for t in ray.get(refs) if t is not None and len(t)]
+        out = reduce_counts(*tables)
+    else:
+        p_bits = max(3, min(6, ncpu.bit_length() - 1))
+        P = 1 << p_bits
+        split_remote = ray.remote(num_returns=P)(_split_by_bkey)
+        red = ray.remote(reduce_counts)
+        split_refs = [split_remote.remote(b, p_bits) for b in refs]
+        outs = [t for t in ray.get([red.remote(*[r[p] for r in split_refs]) for p in range(P)]) if len(t)]
+        merged = pa.concat_tables(outs)
+        g = merged.group_by("event_type").aggregate([("n_users", "sum")])
+        out = g.rename_columns(
+            [{"n_users_sum": "n_users"}.get(c, c) for c in g.column_names]
+        ).select(["event_type", "n_users"])
+    return out.sort_by([("event_type", "ascending")])
 
 
 @query(

@@ -226,3 +226,14 @@ def test_group_quantiles_accuracy(ray_session):
     for g in exact.index:
         for col, ex in (("p50_cents", exact.loc[g, "p50"] * 100), ("p95_cents", exact.loc[g, "p95"] * 100)):
             assert abs(got.loc[g, col] - ex) / ex < 0.02, (g, col, got.loc[g, col], ex)
+
+
+def test_distinct_users_exchange_path_matches_driver(ray_session, monkeypatch):
+    """The skew-proof exchange path for exact per-group distinct must equal
+    the (oracle-checked) driver path bit-for-bit."""
+    from seronet_data_validator_ray.pipelines import table_queries as tq
+
+    small = tq.distinct_users_per_type(SF)
+    monkeypatch.setattr(tq, "DISTINCT_DRIVER_MAX_ROWS", 0)
+    big = tq.distinct_users_per_type(SF)
+    assert small.to_pandas().equals(big.to_pandas())

@@ -63,6 +63,8 @@ def format_sql(name: str, sf_dir: str) -> str | None:
         return None
     if name == "csv_cleanup":
         return sql.format(p=os.path.join(ensure_csv_fixture(sf_dir), "data.csv"))
+    if name == "jsonl_events":
+        return sql.format(j=ensure_jsonl_fixture(sf_dir))
     return sql.format(d=ensure_clinical(sf_dir))
 
 
@@ -249,6 +251,102 @@ def status_normalize(sf_dir: str) -> pa.Table:
         zero_copy_batch=True,
     )
     return ds_to_table(ds).select(["row_id", "status", "canonical"])
+
+
+# ----------------------------------------------------------- JSONL source
+
+def ensure_jsonl_fixture(sf_dir: str) -> str:
+    """Deterministic JSONL event export: nested payload struct + typed
+    scalars, several files (the distributed axis)."""
+    import json as _json
+
+    d = os.path.join("/tmp/graft_jsonl", _tag(sf_dir))
+    marker = os.path.join(d, "_OK")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    n = max(300, _rows_for(sf_dir) // 10)
+    per_file = -(-n // 3)
+    i = 0
+    for f_i in range(3):
+        lines = []
+        for _ in range(per_file):
+            if i >= n:
+                break
+            lines.append(
+                _json.dumps(
+                    {
+                        "event_id": i,
+                        "kind": ["click", "view", "buy"][i % 3],
+                        "amount": round((i % 700) / 7.0, 2),
+                        "meta": {"region": ["eu", "us", "ap"][i % 3 if i % 5 else 2], "retries": i % 4},
+                    },
+                    sort_keys=True,
+                )
+            )
+            i += 1
+        with open(os.path.join(d, f"events-{f_i}.jsonl"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    open(marker, "w").close()
+    return d
+
+
+_JSONL_SQL = """
+SELECT kind, meta_region,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
+       CAST(SUM(meta_retries) AS BIGINT) AS total_retries
+FROM read_json_auto('{j}/events-*.jsonl')
+CROSS JOIN LATERAL (SELECT meta.region AS meta_region, meta.retries AS meta_retries)
+GROUP BY kind, meta_region
+"""
+
+
+@query("jsonl_events", _JSONL_SQL)
+def jsonl_events(sf_dir: str) -> pa.Table:
+    """JSONL source end-to-end: distributed read, struct flattening, exact
+    integer aggregation per (kind, nested region)."""
+    import pyarrow.compute as pc
+
+    from seronet_data_validator_ray.sources.json_source import read_jsonl_typed
+    from seronet_data_validator_ray.util import ds_to_table
+
+    import glob as _glob
+
+    d = ensure_jsonl_fixture(sf_dir)
+    files = sorted(_glob.glob(os.path.join(d, "events-*.jsonl")))
+    ds = read_jsonl_typed(files, flatten_structs=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "kind": batch["kind"],
+                "meta_region": batch["meta.region"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(pc.cast(batch["amount"], pa.float64()), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                "retries": pc.cast(batch["meta.retries"], pa.int64()),
+            }
+        )
+        g = t.group_by(["kind", "meta_region"]).aggregate(
+            [("cents", "count"), ("cents", "sum"), ("retries", "sum")]
+        )
+        names = {"cents_count": "n", "cents_sum": "amount_cents", "retries_sum": "total_retries"}
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+    parts = ds_to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = parts.group_by(["kind", "meta_region"]).aggregate(
+        [("n", "sum"), ("amount_cents", "sum"), ("total_retries", "sum")]
+    )
+    names = {"n_sum": "n", "amount_cents_sum": "amount_cents", "total_retries_sum": "total_retries"}
+    g = g.rename_columns([names.get(c, c) for c in g.column_names])
+    return g.select(["kind", "meta_region", "n", "amount_cents", "total_retries"]).sort_by(
+        [("kind", "ascending"), ("meta_region", "ascending")]
+    )
 
 
 # ----------------------------------------------------------- CSV cleanup (M4)

@@ -151,3 +151,29 @@ def test_eval_modes_agree(ray_session):
         outs[mode] = collections.Counter(res.violations["rule_id"].to_pylist())
     assert outs["actors"] == outs["tasks"]
     assert sum(outs["actors"].values()) > 0
+
+
+def test_cli_validate_smoke(tmp_path):
+    """python -m seronet_data_validator_ray validate: one JSON summary line,
+    outputs + manifest on disk (runs in a subprocess owning its own Ray)."""
+    import json
+    import subprocess
+    import sys
+
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq
+
+    d = ensure_seq("/root/testdata/sf0.001")
+    out = str(tmp_path / "cli_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "seronet_data_validator_ray", "validate",
+         "--input", d, "--output", out, "--cpus", "4"],
+        capture_output=True, text=True, timeout=280, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_violations"] > 0
+    assert summary["n_partitions"] == summary["metrics"]["n_files"]
+    import os
+
+    assert os.path.exists(os.path.join(out, "verdicts.parquet"))
+    assert os.path.isdir(os.path.join(out, "manifest"))

@@ -388,6 +388,86 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
     return g.rename_columns(["source", "bin", "n"]).select(["source", "bin", "n"])
 
 
+# ----------------------------------------------------------------- source remix
+
+MIX_WEIGHTS = {"web": 2, "books": 8, "code": 8, "wiki": 8, "forums": 8}  # keep i%10 < w
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+
+_SEQ_MIX_SQL = (
+    _CTE
+    + f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+FROM seq
+WHERE doc_id IS NOT NULL AND regexp_matches(doc_id, '^[a-z0-9]+_[0-9]+$')
+  AND CAST(string_split(doc_id, '_')[2] AS BIGINT) % 10 < ({_MIX_CASE})
+GROUP BY source
+"""
+)
+
+
+@query("seq_source_mix", _SEQ_MIX_SQL)
+def seq_source_mix(sf_dir: str) -> pa.Table:
+    """Deterministic corpus remixing (domain reweighting — the data-mixing
+    step of a training pipeline): keep each doc iff its id residue falls
+    under the source's weight, downsampling the hot 'web' source 4x while
+    keeping the cold sources at 80%. Pure streaming filter + per-batch
+    combiner; the keep decision is a pure function of the row, so the mix
+    is reproducible shard-by-shard (and the oracle replays it in SQL)."""
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+    from seronet_data_validator_ray.util import ds_to_table
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+
+    def mix(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        ok = pc.match_substring_regex(pc.fill_null(ids, ""), r"^[a-z0-9]+_[0-9]+$")
+        b = batch.filter(pc.fill_null(ok, False))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_kept": pa.array([], type=pa.int64()),
+                    "kept_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        suffix = pc.cast(pc.list_element(pc.split_pattern(b["doc_id"], "_"), 1), pa.int64())
+        residue = pc.cast(suffix, pa.int64()).to_numpy(zero_copy_only=False) % 10
+        src = np.asarray(b["source"].to_numpy(zero_copy_only=False), dtype=object)
+        weights = np.array([MIX_WEIGHTS.get(s, 0) for s in src], dtype=np.int64)
+        keep = residue < weights
+        kept = b.filter(pa.array(keep))
+        s2 = np.asarray(kept["source"].to_numpy(zero_copy_only=False), dtype=object)
+        ntok = kept["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, gidx = np.unique(s2, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], type=pa.string()),
+                "n_kept": pa.array(np.bincount(gidx, minlength=len(uniq)), type=pa.int64()),
+                "kept_tokens": pa.array(
+                    np.bincount(gidx, weights=ntok.astype(np.float64), minlength=len(uniq)).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    ds = read_with_provenance(
+        plan.work_items(), columns=["doc_id", "n_tok", "source"], yield_rows=8192
+    ).map_batches(mix, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    tbl = ds_to_table(ds)
+    g = tbl.group_by("source").aggregate([("n_kept", "sum"), ("kept_tokens", "sum")])
+    g = g.rename_columns(
+        [{"n_kept_sum": "n_kept", "kept_tokens_sum": "kept_tokens"}.get(c, c) for c in g.column_names]
+    )
+    return g.select(["source", "n_kept", "kept_tokens"]).sort_by([("source", "ascending")])
+
+
 def format_sql(name: str, sf_dir: str) -> str | None:
     fn, sql = REGISTRY[name]
     if sql is None:

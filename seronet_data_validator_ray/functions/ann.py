@@ -260,30 +260,27 @@ def _binary_to_vec(col, dim: int) -> np.ndarray:
     return flat.reshape(n, dim)
 
 
-class _IvfBucketEmitter:
-    """Emit each vector to its IVF_NPROBE nearest-centroid buckets (LIGHT-ish
-    rows: bkey + id + the packed float32 vector, which the within-bucket
-    verify genuinely needs). Multi-probe emission means any pair whose probe
-    sets intersect is caught."""
+def _ivf_bucket_emit(batch: pa.Table, cents_ref=None) -> pa.Table:
+    """Stateless-task stage: emit each vector to its IVF_NPROBE nearest-
+    centroid buckets (bkey + id + the packed float64 vector, which the
+    within-bucket verify genuinely needs). Multi-probe emission means any
+    pair whose probe sets intersect is caught; centroids resolve once per
+    worker (no actor spawn on this path)."""
+    from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
 
-    def __init__(self, cents_ref):
-        import ray
-
-        self.cents = ray.get(cents_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vmat = _normalize(_stack(batch))  # float64 end to end (sim parity)
-        probes = np.argsort(-(vmat @ self.cents.T), axis=1)[:, :IVF_NPROBE]
-        n = len(vids)
-        rep = np.tile(np.arange(n), IVF_NPROBE)
-        return pa.table(
-            {
-                "bkey": pa.array(probes.T.reshape(-1).astype(np.int64), type=pa.int64()),
-                "doc_id": pa.array(vids[rep], type=pa.int64()),
-                "vec": _vec_to_binary(vmat[rep]),
-            }
-        )
+    cents = _resolve_broadcast(cents_ref)["cents"]
+    vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vmat = _normalize(_stack(batch))  # float64 end to end (sim parity)
+    probes = np.argsort(-(vmat @ cents.T), axis=1)[:, :IVF_NPROBE]
+    n = len(vids)
+    rep = np.tile(np.arange(n), IVF_NPROBE)
+    return pa.table(
+        {
+            "bkey": pa.array(probes.T.reshape(-1).astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(vids[rep], type=pa.int64()),
+            "vec": _vec_to_binary(vmat[rep]),
+        }
+    )
 
 
 def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
@@ -353,16 +350,17 @@ def cosine_near_dup_ivf(sf_dir: str) -> pa.Table:
         .astype(np.float64).reshape(len(first), -1)
     )
     cents = _kmeans_fit(sample, IVF_CLUSTERS, IVF_ITERS)
-    cents_ref = ray.put(cents)
+    cents_ref = ray.put({"cents": cents})
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     emitted = ds.map_batches(
-        _IvfBucketEmitter,
-        fn_constructor_kwargs={"cents_ref": cents_ref},
+        _ivf_bucket_emit,
+        fn_kwargs={"cents_ref": cents_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 2),
     )
-    pairs = _bucketed_pair_exchange(emitted, _reduce_cosine_bucket)
+    # IVF buckets don't pair-explode like text anchors (bounded list sizes),
+    # so the driver reduce stays economical far longer here
+    pairs = _bucketed_pair_exchange(emitted, _reduce_cosine_bucket, driver_max_rows=200_000)
     if pairs.num_rows == 0:
         return pairs
     return pairs.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])

@@ -278,3 +278,39 @@ def test_duration_future_matches_datetime(years, values, units):
         else:  # Week: the reference has no branch for it
             want = False
         assert bool(mask[i]) == want, (v, u, y)
+
+
+@settings(**SET)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["", "x", "y–z", "echo", "–"]),
+            st.sampled_from(["", "1", "echo", "a–b"]),
+            st.sampled_from(["", "2.5", "echo"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cleanup_batch_matches_bruteforce(rows):
+    """cleanup_batch == the reference's row-drop semantics replayed naively:
+    drop all-empty rows, drop rows whose every cell equals column 0's value,
+    drop Unnamed* columns, en-dash -> hyphen."""
+    from seronet_data_validator_ray.sources.csv_source import cleanup_batch
+
+    tbl = pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], type=pa.string()),
+            "b": pa.array([r[1] for r in rows], type=pa.string()),
+            "Unnamed: 2": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    got = cleanup_batch(tbl)
+    assert got.column_names == ["a", "b"]
+    want = []
+    for r in rows:
+        all_empty = all(c == "" for c in r)
+        all_eq = all(c == r[0] for c in r)
+        if not (all_empty or all_eq):
+            want.append((r[0].replace("–", "-"), r[1].replace("–", "-")))
+    assert list(zip(got["a"].to_pylist(), got["b"].to_pylist())) == want

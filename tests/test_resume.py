@@ -87,3 +87,45 @@ def test_submission_lifecycle_resume(ray_session, tmp_path):
     assert r1.violations.num_rows == r2.violations.num_rows
     assert r1.table_verdicts.to_pylist() == r2.table_verdicts.to_pylist()
     assert r1.table_verdicts.to_pandas().set_index("table").loc["__cross__", "n_errors"] > 0
+
+
+def test_violation_files_per_partition_sorted(bad_dir, reference_hists, tmp_path):
+    """O1: one deterministic rows-<partition>.parquet per dirty partition,
+    sorted by (row_index, rule_id); regenerating an input (same name, new
+    mtime/rows) forces re-validation on resume (fingerprint check)."""
+    import os
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted")
+    run(bad_dir, reference_hists, output_dir=out)
+    vdirs = glob.glob(os.path.join(out, "violations", "*"))
+    assert len(vdirs) == 1
+    row_files = sorted(glob.glob(os.path.join(vdirs[0], "rows-*.parquet")))
+    assert row_files, "dirty partitions must each have a rows- file"
+    for f in row_files:
+        t = pq.read_table(f)
+        parts = set(t["partition"].to_pylist())
+        assert len(parts) == 1  # one partition per file
+        idx = t["row_index"].to_pylist()
+        assert idx == sorted(idx)
+
+    # fingerprint: touch one input file -> that partition becomes pending
+    from seronet_data_validator_ray.sources.parquet import plan_read
+    from seronet_data_validator_ray.state.manifest import Manifest
+
+    plan = plan_read(bad_dir, SEQUENCES_SCHEMA)
+    target = plan.good_files[0]
+    os.utime(target.path)  # new mtime, same content
+    fingerprints = {
+        f.partition: f"{f.num_rows}:{os.stat(f.path).st_mtime_ns}" for f in plan.files
+    }
+    pending = Manifest(out).pending(
+        [f.partition for f in plan.files], run_rules_hash(), fingerprints
+    )
+    assert target.partition in pending
+
+
+def run_rules_hash():
+    from seronet_data_validator_ray.state.manifest import rule_set_hash
+
+    return rule_set_hash(sequences_rules().rules)

@@ -451,6 +451,57 @@ def top_orders(sf_dir: str) -> pa.Table:
     return _ds_table(ds)
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_PIVOT_SQL = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"       CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id"
+)
+
+
+@query("events_pivot", _PIVOT_SQL)
+def events_pivot(sf_dir: str) -> pa.Table:
+    """Pivot (long -> wide conditional counts per user): per-batch 2-D
+    bincount combiner (user x type), tiny wide partials merged driver-side —
+    the reshape family with no shuffle of the fact rows."""
+    import numpy as np
+
+    type_idx = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    T = len(_PIVOT_TYPES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        code = np.array([type_idx.get(t, -1) for t in np.unique(et)])  # vocab-bounded
+        uniq_t, inv_t = np.unique(et, return_inverse=True)
+        tcode = code[inv_t]
+        keep = tcode >= 0
+        uid, tcode = uid[keep], tcode[keep]
+        uniq_u, inv_u = np.unique(uid, return_inverse=True)
+        counts = np.bincount(inv_u * T + tcode, minlength=len(uniq_u) * T).reshape(-1, T)
+        cols = {"user_id": pa.array(uniq_u, type=pa.int64())}
+        for i, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(counts[:, i].astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    parts = _ds_table(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    aggs = [(f"n_{t}", "sum") for t in _PIVOT_TYPES]
+    g = parts.group_by("user_id").aggregate(aggs)
+    names = {f"n_{t}_sum": f"n_{t}" for t in _PIVOT_TYPES}
+    g = g.rename_columns([names.get(c, c) for c in g.column_names])
+    return g.select(["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES]).sort_by(
+        [("user_id", "ascending")]
+    )
+
+
 @query(
     "distinct_users_per_type",
     """

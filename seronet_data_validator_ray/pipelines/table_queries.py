@@ -503,6 +503,39 @@ def events_pivot(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "events_melt",
+    """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click','view','purchase','signup','error')
+GROUP BY user_id, event_type
+""",
+)
+def events_melt(sf_dir: str) -> pa.Table:
+    """Unpivot (wide -> long): melt the pivot output back to
+    (user_id, event_type, n) rows, dropping structural zeros — the reshape
+    round-trip, oracle-matched against the plain long-form groupby."""
+    import numpy as np
+
+    wide = events_pivot(sf_dir)
+    uid = wide["user_id"].to_numpy(zero_copy_only=False)
+    users, types, counts = [], [], []
+    for t in _PIVOT_TYPES:
+        n = wide[f"n_{t}"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        users.append(uid[keep])
+        types.append(np.full(int(keep.sum()), t, dtype=object))
+        counts.append(n[keep])
+    return pa.table(
+        {
+            "user_id": pa.array(np.concatenate(users), type=pa.int64()),
+            "event_type": pa.array(np.concatenate(types), type=pa.string()),
+            "n": pa.array(np.concatenate(counts), type=pa.int64()),
+        }
+    ).sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+
+
+@query(
     "distinct_users_per_type",
     """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

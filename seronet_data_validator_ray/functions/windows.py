@@ -119,6 +119,114 @@ def sliding_window(
     return g.select(out_cols)
 
 
+def running_number(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pa.Table:
+    """Distributed prefix scan: per-user running event number in
+    (ts, id) order — the window-function ``row_number() OVER (PARTITION BY
+    user ORDER BY ts, id)`` as a two-pass block-offset computation:
+
+    1. ONE global sort on (user, ts, id), materialized so both passes see
+       identical block boundaries (the materialization is the prefix-scan's
+       checkpoint; blocks stay distributed in the object store).
+    2. Pass A (parallel): per-block (block_min_key, per-user counts) — tiny.
+       Driver orders blocks by min key and exclusive-prefix-sums each user's
+       counts across blocks -> per-(block, user) base offsets (#blocks x
+       #users-per-block rows, broadcast once).
+    3. Pass B (parallel): each block recomputes its min key, looks up its
+       base offsets and emits base + local running index, vectorized.
+    """
+    import ray
+
+    from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+    from seronet_data_validator_ray.util import ds_to_table
+
+    mat = ds.sort([user_col, ts_col, id_col]).materialize()
+
+    def _block_key(batch: pa.Table) -> str:
+        # zero-padded so lexicographic order == numeric sort order
+        u = batch[user_col][0].as_py()
+        t = pc.cast(batch[ts_col], pa.int64())[0].as_py()
+        i = batch[id_col][0].as_py()
+        return f"{u:020d}|{t:020d}|{i:020d}"
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkey": pa.array([], type=pa.string()),
+                    "user": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(users, return_counts=True)
+        k = _block_key(batch)
+        return pa.table(
+            {
+                "bkey": pa.array([k] * len(uniq), type=pa.string()),
+                "user": pa.array(uniq, type=pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = ds_to_table(
+        mat.map_batches(pass_a, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    )
+    # order blocks by their min sort key; exclusive prefix per user
+    blocks: dict[str, dict[int, int]] = {}
+    for bk, u, c in zip(
+        partials["bkey"].to_pylist(), partials["user"].to_pylist(), partials["cnt"].to_pylist()
+    ):
+        blocks.setdefault(bk, {})[u] = c
+    ordered = sorted(blocks)  # zero-padded keys sort numerically
+    running: dict[int, int] = {}
+    base_of: dict[str, dict[int, int]] = {}
+    for bk in ordered:
+        base_of[bk] = {}
+        for u, c in sorted(blocks[bk].items()):
+            base_of[bk][u] = running.get(u, 0)
+            running[u] = running.get(u, 0) + c
+    base_ref = ray.put({"base_of": base_of})
+
+    def pass_b(batch: pa.Table, base_ref=None) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    user_col: pa.array([], type=pa.int64()),
+                    "rn": pa.array([], type=pa.int64()),
+                }
+            )
+        base = _resolve_broadcast(base_ref)["base_of"][_block_key(batch)]
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        n = len(users)
+        new_u = np.ones(n, dtype=bool)
+        new_u[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new_u)[0]
+        seg = np.cumsum(new_u) - 1
+        local = np.arange(n, dtype=np.int64) - starts[seg]
+        bases = np.array([base.get(int(users[s]), 0) for s in starts], dtype=np.int64)
+        rn = bases[seg] + local + 1
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                user_col: batch[user_col],
+                "rn": pa.array(rn, type=pa.int64()),
+            }
+        )
+
+    return ds_to_table(
+        mat.map_batches(
+            pass_b, fn_kwargs={"base_ref": base_ref},
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+    )
+
+
 def _session_partials(batch: pa.Table, user_col: str, ts_col: str, gap_us: int) -> pa.Table:
     """Per-block per-user session summary over (user, ts)-sorted rows —
     vectorized segment reduction across EVERY user in the block at once.

@@ -503,6 +503,26 @@ def events_pivot(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "events_running_number",
+    """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events
+""",
+)
+def events_running_number(sf_dir: str) -> pa.Table:
+    """Distributed prefix scan (window-function row_number over a
+    partition): one global sort + per-block user counts -> driver exclusive
+    prefix -> broadcast base offsets -> vectorized per-block emit. Exact
+    per-ROW parity with the SQL window function."""
+    from seronet_data_validator_ray.functions.windows import running_number
+
+    return running_number(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    )
+
+
+@query(
     "events_melt",
     """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

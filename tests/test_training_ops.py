@@ -237,3 +237,40 @@ def test_distinct_users_exchange_path_matches_driver(ray_session, monkeypatch):
     monkeypatch.setattr(tq, "DISTINCT_DRIVER_MAX_ROWS", 0)
     big = tq.distinct_users_per_type(SF)
     assert small.to_pandas().equals(big.to_pandas())
+
+
+def test_running_number_multiblock(ray_session):
+    """Distributed prefix scan: per-user row numbers must be exact when a
+    user's events span many blocks (the base-offset stitch path)."""
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.windows import running_number
+
+    rng = np.random.default_rng(11)
+    n, n_users = 4000, 12
+    users = rng.integers(0, n_users, n).astype(np.int64)
+    ts = rng.integers(0, 10**10, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+    chunks = [tbl.slice(i, 200) for i in range(0, n, 200)]  # 20 blocks
+    got = (
+        running_number(ray.data.from_arrow(chunks))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # brute force row_number per user ordered by (ts, event_id)
+    import pandas as pd
+
+    df = pd.DataFrame({"event_id": eid, "user_id": users, "ts": ts})
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    df["rn"] = df.groupby("user_id").cumcount() + 1
+    want = df.sort_values("event_id").reset_index(drop=True)[["event_id", "user_id", "rn"]]
+    pd.testing.assert_frame_equal(got[["event_id", "user_id", "rn"]], want, check_dtype=False)

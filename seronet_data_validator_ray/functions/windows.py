@@ -119,15 +119,32 @@ def sliding_window(
     return g.select(out_cols)
 
 
+def _cents_np(col) -> np.ndarray:
+    return (
+        pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(col, pa.float64()), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+    )
+
+
 def running_number(
     ds,
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    value_col: str | None = None,
 ) -> pa.Table:
     """Distributed prefix scan: per-user running event number in
     (ts, id) order — the window-function ``row_number() OVER (PARTITION BY
     user ORDER BY ts, id)`` as a two-pass block-offset computation:
+
+    With ``value_col`` set, ALSO emits the per-user running SUM of that
+    column in exact integer cents (``SUM(...) OVER (... ROWS UNBOUNDED
+    PRECEDING)``) via the same base-offset stitch.
 
     1. ONE global sort on (user, ts, id), materialized so both passes see
        identical block boundaries (the materialization is the prefix-scan's
@@ -155,52 +172,65 @@ def running_number(
 
     def pass_a(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "bkey": pa.array([], type=pa.string()),
-                    "user": pa.array([], type=pa.int64()),
-                    "cnt": pa.array([], type=pa.int64()),
-                }
-            )
-        users = batch[user_col].to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(users, return_counts=True)
-        k = _block_key(batch)
-        return pa.table(
-            {
-                "bkey": pa.array([k] * len(uniq), type=pa.string()),
-                "user": pa.array(uniq, type=pa.int64()),
-                "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+            cols0 = {
+                "bkey": pa.array([], type=pa.string()),
+                "user": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
             }
-        )
+            if value_col is not None:
+                cols0["val"] = pa.array([], type=pa.int64())
+            return pa.table(cols0)
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(users, return_inverse=True, return_counts=True)
+        k = _block_key(batch)
+        cols = {
+            "bkey": pa.array([k] * len(uniq), type=pa.string()),
+            "user": pa.array(uniq, type=pa.int64()),
+            "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+        }
+        if value_col is not None:
+            cents = _cents_np(batch[value_col])
+            cols["val"] = pa.array(
+                np.bincount(inv, weights=cents.astype(np.float64), minlength=len(uniq)).astype(
+                    np.int64
+                ),
+                type=pa.int64(),
+            )
+        return pa.table(cols)
 
     partials = ds_to_table(
         mat.map_batches(pass_a, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     )
     # order blocks by their min sort key; exclusive prefix per user
-    blocks: dict[str, dict[int, int]] = {}
-    for bk, u, c in zip(
-        partials["bkey"].to_pylist(), partials["user"].to_pylist(), partials["cnt"].to_pylist()
+    blocks: dict[str, dict[int, tuple]] = {}
+    vals = partials["val"].to_pylist() if value_col is not None else [0] * partials.num_rows
+    for bk, u, c, v in zip(
+        partials["bkey"].to_pylist(), partials["user"].to_pylist(),
+        partials["cnt"].to_pylist(), vals,
     ):
-        blocks.setdefault(bk, {})[u] = c
+        blocks.setdefault(bk, {})[u] = (c, v)
     ordered = sorted(blocks)  # zero-padded keys sort numerically
     running: dict[int, int] = {}
-    base_of: dict[str, dict[int, int]] = {}
+    running_v: dict[int, int] = {}
+    base_of: dict[str, dict[int, tuple]] = {}
     for bk in ordered:
         base_of[bk] = {}
-        for u, c in sorted(blocks[bk].items()):
-            base_of[bk][u] = running.get(u, 0)
+        for u, (c, v) in sorted(blocks[bk].items()):
+            base_of[bk][u] = (running.get(u, 0), running_v.get(u, 0))
             running[u] = running.get(u, 0) + c
+            running_v[u] = running_v.get(u, 0) + v
     base_ref = ray.put({"base_of": base_of})
 
     def pass_b(batch: pa.Table, base_ref=None) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    user_col: pa.array([], type=pa.int64()),
-                    "rn": pa.array([], type=pa.int64()),
-                }
-            )
+            cols0 = {
+                id_col: pa.array([], type=pa.int64()),
+                user_col: pa.array([], type=pa.int64()),
+                "rn": pa.array([], type=pa.int64()),
+            }
+            if value_col is not None:
+                cols0["running_cents"] = pa.array([], type=pa.int64())
+            return pa.table(cols0)
         base = _resolve_broadcast(base_ref)["base_of"][_block_key(batch)]
         users = batch[user_col].to_numpy(zero_copy_only=False)
         n = len(users)
@@ -209,15 +239,24 @@ def running_number(
         starts = np.nonzero(new_u)[0]
         seg = np.cumsum(new_u) - 1
         local = np.arange(n, dtype=np.int64) - starts[seg]
-        bases = np.array([base.get(int(users[s]), 0) for s in starts], dtype=np.int64)
-        rn = bases[seg] + local + 1
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                user_col: batch[user_col],
-                "rn": pa.array(rn, type=pa.int64()),
-            }
+        bases = np.array(
+            [base.get(int(users[s]), (0, 0))[0] for s in starts], dtype=np.int64
         )
+        cols = {
+            id_col: batch[id_col],
+            user_col: batch[user_col],
+            "rn": pa.array(bases[seg] + local + 1, type=pa.int64()),
+        }
+        if value_col is not None:
+            cents = _cents_np(batch[value_col])
+            csum = np.cumsum(cents)
+            seg_base = np.where(starts > 0, csum[starts - 1], 0)
+            local_sum = csum - seg_base[seg]
+            vbases = np.array(
+                [base.get(int(users[s]), (0, 0))[1] for s in starts], dtype=np.int64
+            )
+            cols["running_cents"] = pa.array(vbases[seg] + local_sum, type=pa.int64())
+        return pa.table(cols)
 
     return ds_to_table(
         mat.map_batches(

@@ -523,6 +523,28 @@ def events_running_number(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "events_running_total",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+""",
+)
+def events_running_total(sf_dir: str) -> pa.Table:
+    """Distributed running SUM per user (exact integer cents) — the same
+    base-offset prefix scan as events_running_number carrying a value."""
+    from seronet_data_validator_ray.functions.windows import running_number
+
+    out = running_number(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        value_col="value",
+    )
+    return out.select(["event_id", "user_id", "running_cents"])
+
+
+@query(
     "events_melt",
     """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

@@ -311,15 +311,26 @@ def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
     da, db = ids_s[a_idx], ids_s[b_idx]
     keep = da != db
     a_idx, b_idx, da, db = a_idx[keep], b_idx[keep], da[keep], db[keep]
-    sims = np.einsum("ij,ij->i", mat_s[a_idx], mat_s[b_idx])
-    units = np.floor(1e6 * sims).astype(np.int64)
-    keep = units >= COSINE_TAU_UNITS
-    lo, hi = np.minimum(da, db)[keep], np.maximum(da, db)[keep]
+    # chunk the per-pair dot products: an unchunked gather materializes
+    # (pairs, dim) float64 twice — gigabytes for multi-million-pair buckets
+    chunk = max(1, 32_000_000 // max(mat_s.shape[1], 1))
+    lo_parts, hi_parts, u_parts = [], [], []
+    for s0 in range(0, len(a_idx), chunk):
+        e0 = min(len(a_idx), s0 + chunk)
+        sims = np.einsum("ij,ij->i", mat_s[a_idx[s0:e0]], mat_s[b_idx[s0:e0]])
+        units = np.floor(1e6 * sims).astype(np.int64)
+        k = units >= COSINE_TAU_UNITS
+        if k.any():
+            lo_parts.append(np.minimum(da[s0:e0], db[s0:e0])[k])
+            hi_parts.append(np.maximum(da[s0:e0], db[s0:e0])[k])
+            u_parts.append(units[k])
+    if not lo_parts:
+        return empty
     out = pa.table(
         {
-            "vec_id_a": pa.array(lo, type=pa.int64()),
-            "vec_id_b": pa.array(hi, type=pa.int64()),
-            "sim_u": pa.array(units[keep], type=pa.int64()),
+            "vec_id_a": pa.array(np.concatenate(lo_parts), type=pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(hi_parts), type=pa.int64()),
+            "sim_u": pa.array(np.concatenate(u_parts), type=pa.int64()),
         }
     )
     if out.num_rows == 0:
@@ -358,9 +369,7 @@ def cosine_near_dup_ivf(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # IVF buckets don't pair-explode like text anchors (bounded list sizes),
-    # so the driver reduce stays economical far longer here
-    pairs = _bucketed_pair_exchange(emitted, _reduce_cosine_bucket, driver_max_rows=200_000)
+    pairs = _bucketed_pair_exchange(emitted, _reduce_cosine_bucket)
     if pairs.num_rows == 0:
         return pairs
     return pairs.sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])

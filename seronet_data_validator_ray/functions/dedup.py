@@ -247,9 +247,39 @@ def _distinct(tbl: pa.Table) -> pa.Table:
     return tbl.group_by(tbl.column_names).aggregate([])
 
 
+def _windowed_pairs(seg_ids: np.ndarray, sz_sorted: np.ndarray):
+    """(a_idx, b_idx) for rows sorted by (segment, size): each row pairs only
+    with the FOLLOWING same-segment rows whose size stays within the AllPairs
+    length bound (size_j <= size_i * DEN / NUM) — the exactness-preserving
+    filter (Bayardo et al., WWW'07 §3.1) applied DURING enumeration, so
+    incompatible pairs are never materialized at all."""
+    m = len(seg_ids)
+    empty = np.zeros(0, dtype=np.int64)
+    if m < 2:
+        return empty, empty
+    BIG = np.int64(1) << np.int64(32)
+    comp = seg_ids * BIG + sz_sorted  # strictly ordered: (segment, size)
+    limit = np.minimum((sz_sorted * JACCARD_DEN) // JACCARD_NUM, BIG - 1)
+    ends = np.searchsorted(comp, seg_ids * BIG + limit, side="right")
+    rep = np.maximum(ends - np.arange(m, dtype=np.int64) - 1, 0)
+    total = int(rep.sum())
+    if total == 0:
+        return empty, empty
+    a_idx = np.repeat(np.arange(m, dtype=np.int64), rep)
+    excl = np.zeros(m, dtype=np.int64)
+    np.cumsum(rep[:-1], out=excl[1:])
+    b_idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(excl, rep)
+        + np.repeat(np.arange(m, dtype=np.int64) + 1, rep)
+    )
+    return a_idx, b_idx
+
+
 def _reduce_jaccard_bucket(*parts, state=None) -> pa.Table:
-    """One bucket's pairs: concat → sort by bkey → vectorized segmented pair
-    enumeration. With broadcast bitset ``state`` (dense-corpus plan), each
+    """One bucket's pairs: concat → sort by (bkey, size) → size-windowed
+    vectorized pair enumeration (only length-compatible pairs are ever
+    generated). With broadcast bitset ``state`` (dense-corpus plan), each
     pair is ALSO exact-Jaccard verified in place so only passing pairs leave
     the reducer — the property that keeps reducer output near-dup-sized
     instead of candidate-sized. Without state, emits locally-distinct LIGHT
@@ -260,20 +290,23 @@ def _reduce_jaccard_bucket(*parts, state=None) -> pa.Table:
     t = pa.concat_tables(parts)
     bkey = t["bkey"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(bkey, kind="stable")
-    a_idx, b_idx = _segment_pairs(bkey[order])
+    if "sz" in t.column_names:
+        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sz, bkey))
+        bk_s = bkey[order]
+        new_seg = np.ones(len(bk_s), dtype=bool)
+        if len(bk_s) > 1:
+            new_seg[1:] = bk_s[1:] != bk_s[:-1]
+        seg_ids = np.cumsum(new_seg) - 1
+        a_idx, b_idx = _windowed_pairs(seg_ids.astype(np.int64), sz[order])
+    else:
+        order = np.argsort(bkey, kind="stable")
+        a_idx, b_idx = _segment_pairs(bkey[order])
     if not len(a_idx):
         return _EMPTY_CAND if state is None else _EMPTY_PAIRS
     da, db = doc[order][a_idx], doc[order][b_idx]
     lo, hi = np.minimum(da, db), np.maximum(da, db)
     keep = lo < hi
-    if "sz" in t.column_names:
-        # AllPairs length filter: Jaccard >= tau forces
-        # min(|a|,|b|) >= tau * max(|a|,|b|) — exactness-preserving prune
-        # BEFORE any verify work (Bayardo et al., WWW'07 §3.1)
-        sz = t["sz"].to_numpy(zero_copy_only=False)[order]
-        sa, sb = sz[a_idx], sz[b_idx]
-        keep &= JACCARD_DEN * np.minimum(sa, sb) >= JACCARD_NUM * np.maximum(sa, sb)
     lo, hi = lo[keep], hi[keep]
     if state is None:
         return _distinct(

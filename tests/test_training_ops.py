@@ -274,3 +274,75 @@ def test_running_number_multiblock(ray_session):
     df["rn"] = df.groupby("user_id").cumcount() + 1
     want = df.sort_values("event_id").reset_index(drop=True)[["event_id", "user_id", "rn"]]
     pd.testing.assert_frame_equal(got[["event_id", "user_id", "rn"]], want, check_dtype=False)
+
+
+def test_running_number_distributed_prefix_path(ray_session):
+    """Forcing driver_max_rows=0 exercises the user-hash bucketed exchange
+    (the 100 TB path: per-user offsets never materialize on the driver) and
+    must be bit-identical to the driver-merge path, value column included."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.windows import running_number
+
+    rng = np.random.default_rng(23)
+    n, n_users = 3000, 9
+    users = rng.integers(0, n_users, n).astype(np.int64)
+    ts = rng.integers(0, 10**10, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    val = rng.uniform(0, 50, n).round(2)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "value": pa.array(val),
+        }
+    )
+    chunks = [tbl.slice(i, 150) for i in range(0, n, 150)]
+    small = (
+        running_number(ray.data.from_arrow(chunks), value_col="value")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    big = (
+        running_number(ray.data.from_arrow(chunks), value_col="value", driver_max_rows=0)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, big)
+    # exact vs pandas window brute force
+    df = pd.DataFrame({"event_id": eid, "user_id": users, "ts": ts, "value": val})
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    cents = (df["value"] * 100).round().astype(np.int64)
+    df["running_cents"] = cents.groupby(df["user_id"]).cumsum()
+    want = df.sort_values("event_id").reset_index(drop=True)
+    assert (big["running_cents"].to_numpy() == want["running_cents"].to_numpy()).all()
+
+
+def test_sessionize_distributed_merge_path(ray_session):
+    """Forcing driver_max_rows=0 exercises the user-hash bucketed boundary
+    merge; must equal the driver-path output exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.windows import sessionize
+
+    rng = np.random.default_rng(31)
+    n, n_users = 4000, 17
+    users = rng.integers(0, n_users, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 2 * 10**11, n).astype(np.int64))
+    rng.shuffle(ts)
+    tbl = pa.table(
+        {"user_id": pa.array(users), "ts": pa.array(ts).cast(pa.timestamp("us"))}
+    )
+    chunks = [tbl.slice(i, 200) for i in range(0, n, 200)]
+    small = sessionize(ray.data.from_arrow(chunks), gap_minutes=30.0).to_pandas()
+    big = (
+        sessionize(ray.data.from_arrow(chunks), gap_minutes=30.0, driver_max_rows=0)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        small.sort_values("user_id").reset_index(drop=True),
+        big.sort_values("user_id").reset_index(drop=True),
+    )

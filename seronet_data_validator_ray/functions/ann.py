@@ -283,7 +283,7 @@ def _ivf_bucket_emit(batch: pa.Table, cents_ref=None) -> pa.Table:
     )
 
 
-def _reduce_cosine_bucket(*parts, state=None) -> pa.Table:
+def _reduce_cosine_bucket(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
     """Within-bucket exact cosine pairs at tau: segmented pair enumeration +
     one per-pair dot product (O(pairs x dim), vectorized)."""
     empty = pa.table(

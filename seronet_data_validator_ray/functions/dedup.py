@@ -276,38 +276,30 @@ def _windowed_pairs(seg_ids: np.ndarray, sz_sorted: np.ndarray):
     return a_idx, b_idx
 
 
-def _reduce_jaccard_bucket(*parts, state=None) -> pa.Table:
-    """One bucket's pairs: concat → sort by (bkey, size) → size-windowed
-    vectorized pair enumeration (only length-compatible pairs are ever
-    generated). With broadcast bitset ``state`` (dense-corpus plan), each
-    pair is ALSO exact-Jaccard verified in place so only passing pairs leave
-    the reducer — the property that keeps reducer output near-dup-sized
-    instead of candidate-sized. Without state, emits locally-distinct LIGHT
-    candidate rows for the two-phase verify."""
-    parts = [p for p in parts if p is not None and len(p)]
-    if not parts:
+# block-key segments larger than this do NOT enumerate pairs inside their
+# reducer; the segment is salted over shard-pair subtasks (one boilerplate
+# prefix token / hot LSH bucket would otherwise serialize its reducer with
+# quadratic enumeration — the escalation path the module docstring names)
+HOT_SEGMENT_ROWS = 6144
+HOT_SHARD_ROWS = 3072
+
+_HOT_TASKS: dict = {}  # cached ray.remote wrappers for the salted subtasks
+
+
+def _hot_remote(name: str, fn):
+    import ray
+
+    if name not in _HOT_TASKS:
+        _HOT_TASKS[name] = ray.remote(fn)
+    return _HOT_TASKS[name]
+
+
+def _emit_jaccard(lo: np.ndarray, hi: np.ndarray, state) -> pa.Table:
+    """Candidate or verified pair rows from aligned (lo, hi) doc-id arrays:
+    without state, LIGHT candidate rows; with the bitset state, chunked
+    AND+popcount verification so only passing pairs are materialized."""
+    if not len(lo):
         return _EMPTY_CAND if state is None else _EMPTY_PAIRS
-    t = pa.concat_tables(parts)
-    bkey = t["bkey"].to_numpy(zero_copy_only=False)
-    doc = t["doc_id"].to_numpy(zero_copy_only=False)
-    if "sz" in t.column_names:
-        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((sz, bkey))
-        bk_s = bkey[order]
-        new_seg = np.ones(len(bk_s), dtype=bool)
-        if len(bk_s) > 1:
-            new_seg[1:] = bk_s[1:] != bk_s[:-1]
-        seg_ids = np.cumsum(new_seg) - 1
-        a_idx, b_idx = _windowed_pairs(seg_ids.astype(np.int64), sz[order])
-    else:
-        order = np.argsort(bkey, kind="stable")
-        a_idx, b_idx = _segment_pairs(bkey[order])
-    if not len(a_idx):
-        return _EMPTY_CAND if state is None else _EMPTY_PAIRS
-    da, db = doc[order][a_idx], doc[order][b_idx]
-    lo, hi = np.minimum(da, db), np.maximum(da, db)
-    keep = lo < hi
-    lo, hi = lo[keep], hi[keep]
     if state is None:
         return _distinct(
             pa.table(
@@ -329,6 +321,157 @@ def _reduce_jaccard_bucket(*parts, state=None) -> pa.Table:
             outs.append(out)
     if not outs:
         return _EMPTY_PAIRS
+    return _distinct(pa.concat_tables(outs))
+
+
+def _hot_jaccard_shard(doc_a, sz_a, doc_b, sz_b, state) -> pa.Table:
+    """Pairs for ONE shard-pair of a salted hot block key: all pairs within
+    shard a when b is None, else ONLY cross pairs (a-row, b-row) — together
+    the shard-pair grid covers each hot-segment pair exactly once."""
+    if doc_b is None:
+        d, s, tag = doc_a, sz_a, None
+    else:
+        d = np.concatenate([doc_a, doc_b])
+        s = np.concatenate([sz_a, sz_b]) if sz_a is not None else None
+        tag = np.concatenate(
+            [np.zeros(len(doc_a), dtype=np.int8), np.ones(len(doc_b), dtype=np.int8)]
+        )
+    if s is not None:
+        order = np.argsort(s, kind="stable")
+        a_idx, b_idx = _windowed_pairs(np.zeros(len(d), dtype=np.int64), s[order])
+    else:
+        order = np.arange(len(d), dtype=np.int64)
+        a_idx, b_idx = _segment_pairs(np.zeros(len(d), dtype=np.int64))
+    if not len(a_idx):
+        return _EMPTY_CAND if state is None else _EMPTY_PAIRS
+    if tag is not None:
+        cross = tag[order][a_idx] != tag[order][b_idx]
+        a_idx, b_idx = a_idx[cross], b_idx[cross]
+    da, db = d[order][a_idx], d[order][b_idx]
+    lo, hi = np.minimum(da, db), np.maximum(da, db)
+    keep = lo < hi
+    return _emit_jaccard(lo[keep], hi[keep], state)
+
+
+def _salt_hot_segments(
+    arrays: dict[str, np.ndarray],
+    seg_starts: np.ndarray,
+    seg_sizes: np.ndarray,
+    hot_rows: int,
+    shard_rows: int,
+    subtask,
+    state_arg,
+) -> list:
+    """Fan each hot segment out as shard-pair subtasks: rows are round-robined
+    into k = ceil(n/shard_rows) shards (round-robin over the size-sorted rows
+    keeps shard size-windows balanced), and the k*(k+1)/2 shard pairs each run
+    ``subtask`` — quadratic work per task drops by ~k², parallelized across
+    the cluster instead of serializing one reducer. Returns object refs."""
+    refs = []
+    cols = list(arrays)
+    for s in np.nonzero(seg_sizes > hot_rows)[0]:
+        beg, n = int(seg_starts[s]), int(seg_sizes[s])
+        seg = {c: arrays[c][beg : beg + n] if arrays[c] is not None else None for c in cols}
+        k = -(-n // shard_rows)
+        shard = np.arange(n, dtype=np.int64) % k
+        shards = [
+            {c: (seg[c][shard == i] if seg[c] is not None else None) for c in cols}
+            for i in range(k)
+        ]
+        for i in range(k):
+            a = shards[i]
+            refs.append(subtask.remote(*[a[c] for c in cols], *[None for _ in cols], state_arg))
+            for j in range(i + 1, k):
+                b = shards[j]
+                refs.append(
+                    subtask.remote(*[a[c] for c in cols], *[b[c] for c in cols], state_arg)
+                )
+    return refs
+
+
+def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """One bucket's pairs: concat → sort by (bkey, size) → size-windowed
+    vectorized pair enumeration (only length-compatible pairs are ever
+    generated). With broadcast bitset ``state`` (dense-corpus plan), each
+    pair is ALSO exact-Jaccard verified in place so only passing pairs leave
+    the reducer — the property that keeps reducer output near-dup-sized
+    instead of candidate-sized. Without state, emits locally-distinct LIGHT
+    candidate rows for the two-phase verify.
+
+    Block-key segments above ``hot_rows`` (a boilerplate prefix / hot LSH
+    bucket) are NOT enumerated here: they are salted over shard-pair
+    subtasks (ray releases this worker's CPU while it blocks on them), so no
+    single reducer ever owns a quadratic hot bucket."""
+    import ray
+
+    verified = state is not None or state_ref is not None
+    empty = _EMPTY_PAIRS if verified else _EMPTY_CAND
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return empty
+    if state is None and state_ref is not None:
+        state = ray.get(state_ref[0])
+    if hot_rows is None:
+        hot_rows = HOT_SEGMENT_ROWS
+    t = pa.concat_tables(parts)
+    bkey = t["bkey"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    has_sz = "sz" in t.column_names
+    if has_sz:
+        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sz, bkey))
+        sz_s = sz[order]
+    else:
+        order = np.argsort(bkey, kind="stable")
+        sz_s = None
+    bk_s = bkey[order]
+    doc_s = doc[order]
+    m = len(bk_s)
+    new_seg = np.ones(m, dtype=bool)
+    if m > 1:
+        new_seg[1:] = bk_s[1:] != bk_s[:-1]
+    seg_ids = (np.cumsum(new_seg) - 1).astype(np.int64)
+    seg_starts = np.nonzero(new_seg)[0]
+    seg_sizes = np.diff(np.append(seg_starts, m))
+    hot_mask = seg_sizes[seg_ids] > hot_rows
+
+    outs: list[pa.Table] = []
+    sub_refs: list = []
+    if hot_mask.any():
+        state_arg = state_ref[0] if state_ref is not None else (
+            ray.put(state) if state is not None else None
+        )
+        sub_refs = _salt_hot_segments(
+            {"doc": doc_s, "sz": sz_s},
+            seg_starts,
+            seg_sizes,
+            hot_rows,
+            max(1, hot_rows // 2) if hot_rows < HOT_SHARD_ROWS else HOT_SHARD_ROWS,
+            _hot_remote("jaccard", _hot_jaccard_shard),
+            state_arg,
+        )
+        cold = np.nonzero(~hot_mask)[0]
+        bk_s, doc_s = bk_s[cold], doc_s[cold]
+        if sz_s is not None:
+            sz_s = sz_s[cold]
+        seg_ids = seg_ids[cold]
+
+    if len(bk_s):
+        if sz_s is not None:
+            a_idx, b_idx = _windowed_pairs(seg_ids, sz_s)
+        else:
+            a_idx, b_idx = _segment_pairs(bk_s)
+        if len(a_idx):
+            da, db = doc_s[a_idx], doc_s[b_idx]
+            lo, hi = np.minimum(da, db), np.maximum(da, db)
+            keep = lo < hi
+            cold_out = _emit_jaccard(lo[keep], hi[keep], state)
+            if len(cold_out):
+                outs.append(cold_out)
+    if sub_refs:
+        outs.extend(tt for tt in ray.get(sub_refs) if len(tt))
+    if not outs:
+        return empty
     return _distinct(pa.concat_tables(outs))
 
 
@@ -360,6 +503,7 @@ def _bucketed_pair_exchange(
     driver_max_rows: int | None = None,
     p_bits: int | None = None,
     state: dict | None = None,
+    hot_rows: int | None = None,
 ) -> pa.Table:
     """Candidate generation WITHOUT Ray Data's groupby: the emitted rows are
     16-24 B each, exactly the tiny-payload shape where the Dataset aggregate's
@@ -376,7 +520,7 @@ def _bucketed_pair_exchange(
     refs = mat.to_arrow_refs()
     if mat.count() <= driver_max_rows:
         tables = [t for t in ray.get(refs) if t is not None and len(t)]
-        return reduce_fn(*tables, state=state)
+        return reduce_fn(*tables, state=state, hot_rows=hot_rows)
     if p_bits is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         p_bits = max(3, min(6, ncpu.bit_length() - 1))
@@ -391,9 +535,12 @@ def _bucketed_pair_exchange(
     split_remote = _REMOTE_FNS[key_s]
     reduce_remote = _REMOTE_FNS[key_r]
     split_refs = [split_remote.remote(b, p_bits) for b in refs]
-    state_ref = ray.put(state) if state is not None else None
+    # the verify state ships as a WRAPPED ref (no kwarg auto-resolution): the
+    # reducer gets it zero-copy from plasma AND can forward the same ref to
+    # its salted hot-segment subtasks without re-putting the bitset matrix
+    state_ref = [ray.put(state)] if state is not None else None
     out_refs = [
-        reduce_remote.remote(*[r[p] for r in split_refs], state=state_ref)
+        reduce_remote.remote(*[r[p] for r in split_refs], state_ref=state_ref, hot_rows=hot_rows)
         for p in range(P)
     ]
     tables = [t for t in ray.get(out_refs) if len(t)]
@@ -407,12 +554,14 @@ def _bucketed_pair_exchange(
 # ------------------------------------------------------------- exact verify pass
 
 def _toks_to_binary(lengths: np.ndarray, flat_u64: np.ndarray) -> pa.Array:
-    """Pack per-row uint64 token hashes into ONE binary column (8 bytes per
-    token). Acero hash joins support binary payloads but not list columns,
-    so this is the wire format of the verify pass — zero-copy both ways."""
-    byte_offs = (_offsets_of(lengths) * 8).astype(np.int32)
+    """Pack per-row uint64 token hashes into ONE large_binary column (8 bytes
+    per token; int64 offsets — at 8 B per distinct token a short-token corpus
+    can exceed the int32 offset range well before the text itself does).
+    Acero hash joins support (large_)binary payloads but not list columns, so
+    this is the wire format of the verify pass — zero-copy both ways."""
+    byte_offs = (_offsets_of(lengths) * 8).astype(np.int64)
     return pa.Array.from_buffers(
-        pa.binary(),
+        pa.large_binary(),
         len(lengths),
         [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(flat_u64.tobytes())],
     )
@@ -426,7 +575,8 @@ def _binary_tokens_view(col) -> tuple[np.ndarray, np.ndarray]:
     n = len(col)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
-    voffs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    voffs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
@@ -495,7 +645,7 @@ def _candidate_tokens_batch(batch: pa.Table, ids_ref=None) -> pa.Table:
         return pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
-                "toks": pa.array([], type=pa.binary()),
+                "toks": pa.array([], type=pa.large_binary()),
             }
         )
     lengths, flat = _hash_tokens_batch(sub["text"])
@@ -737,7 +887,9 @@ def prefix_emit_batch(batch: pa.Table, order_ref=None) -> pa.Table:
     )
 
 
-def jaccard_pairs_exact(sf_dir: str) -> pa.Table:
+def jaccard_pairs_exact(
+    sf_dir: str, hot_rows: int | None = None, driver_max_rows: int | None = None
+) -> pa.Table:
     import ray
     import ray.data
 
@@ -752,9 +904,14 @@ def jaccard_pairs_exact(sf_dir: str) -> pa.Table:
     state = _corpus_bitset_state(docs)
     if state is not None:  # dense-corpus plan: verify inside the reducers
         return _sorted_pairs(
-            _bucketed_pair_exchange(emitted, _reduce_jaccard_bucket, state=state)
+            _bucketed_pair_exchange(
+                emitted, _reduce_jaccard_bucket, state=state,
+                hot_rows=hot_rows, driver_max_rows=driver_max_rows,
+            )
         )
-    cand = _bucketed_pair_exchange(emitted, _reduce_jaccard_bucket)
+    cand = _bucketed_pair_exchange(
+        emitted, _reduce_jaccard_bucket, hot_rows=hot_rows, driver_max_rows=driver_max_rows
+    )
     return _sorted_pairs(_verify_candidates(cand, docs))
 
 
@@ -817,7 +974,9 @@ def minhash_emit_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+def minhash_lsh_pairs(
+    sf_dir: str, hot_rows: int | None = None, driver_max_rows: int | None = None
+) -> pa.Table:
     """Candidate pairs from LSH buckets, then EXACT Jaccard verify — so the
     only approximation is possible false negatives (P < 1e-7 at tau=0.9
     with 16 bands x 4 rows)."""
@@ -828,9 +987,14 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     state = _corpus_bitset_state(docs)
     if state is not None:  # dense-corpus plan: verify inside the reducers
         return _sorted_pairs(
-            _bucketed_pair_exchange(emitted, _reduce_jaccard_bucket, state=state)
+            _bucketed_pair_exchange(
+                emitted, _reduce_jaccard_bucket, state=state,
+                hot_rows=hot_rows, driver_max_rows=driver_max_rows,
+            )
         )
-    cand = _bucketed_pair_exchange(emitted, _reduce_jaccard_bucket)
+    cand = _bucketed_pair_exchange(
+        emitted, _reduce_jaccard_bucket, hot_rows=hot_rows, driver_max_rows=driver_max_rows
+    )
     return _sorted_pairs(_verify_candidates(cand, docs))
 
 
@@ -903,22 +1067,10 @@ _EMPTY_SIM = pa.table(
 )
 
 
-def _reduce_simhash_bucket(*parts, state=None) -> pa.Table:
-    """One bucket's verified simhash pairs: segmented pair enumeration +
-    vectorized XOR/popcount hamming — no O(n^2) matrix, no per-group Python
-    loop (round-1 verdict item #3)."""
-    parts = [p for p in parts if p is not None and len(p)]
-    if not parts:
-        return _EMPTY_SIM
-    t = pa.concat_tables(parts)
-    bkey = t["bkey"].to_numpy(zero_copy_only=False)
-    doc = t["doc_id"].to_numpy(zero_copy_only=False)
-    sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    order = np.argsort(bkey, kind="stable")
-    a_idx, b_idx = _segment_pairs(bkey[order])
+def _simhash_pairs_of(doc_s, sig_s, a_idx, b_idx) -> pa.Table:
+    """Verified (hamming <= HAM_T) pair rows from enumerated index pairs."""
     if not len(a_idx):
         return _EMPTY_SIM
-    doc_s, sig_s = doc[order], sig[order]
     x = sig_s[a_idx] ^ sig_s[b_idx]
     d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
     da, db = doc_s[a_idx], doc_s[b_idx]
@@ -935,6 +1087,79 @@ def _reduce_simhash_bucket(*parts, state=None) -> pa.Table:
     )
 
 
+def _hot_simhash_shard(doc_a, sig_a, doc_b, sig_b, state) -> pa.Table:
+    """One shard-pair of a salted hot simhash band bucket (state unused —
+    the signature column travels with the rows)."""
+    if doc_b is None:
+        d = doc_a
+        g = sig_a
+        a_idx, b_idx = _segment_pairs(np.zeros(len(d), dtype=np.int64))
+        tag = None
+    else:
+        d = np.concatenate([doc_a, doc_b])
+        g = np.concatenate([sig_a, sig_b])
+        tag = np.concatenate(
+            [np.zeros(len(doc_a), dtype=np.int8), np.ones(len(doc_b), dtype=np.int8)]
+        )
+        a_idx, b_idx = _segment_pairs(np.zeros(len(d), dtype=np.int64))
+    if tag is not None and len(a_idx):
+        cross = tag[a_idx] != tag[b_idx]
+        a_idx, b_idx = a_idx[cross], b_idx[cross]
+    return _simhash_pairs_of(d, g.view(np.uint64), a_idx, b_idx)
+
+
+def _reduce_simhash_bucket(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """One bucket's verified simhash pairs: segmented pair enumeration +
+    vectorized XOR/popcount hamming — no O(n^2) matrix, no per-group Python
+    loop (round-1 verdict item #3). Hot band buckets salt over shard-pair
+    subtasks like the jaccard reducer."""
+    import ray
+
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return _EMPTY_SIM
+    if hot_rows is None:
+        hot_rows = HOT_SEGMENT_ROWS
+    t = pa.concat_tables(parts)
+    bkey = t["bkey"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    sig = t["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bkey, kind="stable")
+    bk_s, doc_s, sig_s = bkey[order], doc[order], sig[order]
+    m = len(bk_s)
+    new_seg = np.ones(m, dtype=bool)
+    if m > 1:
+        new_seg[1:] = bk_s[1:] != bk_s[:-1]
+    seg_ids = (np.cumsum(new_seg) - 1).astype(np.int64)
+    seg_starts = np.nonzero(new_seg)[0]
+    seg_sizes = np.diff(np.append(seg_starts, m))
+    hot_mask = seg_sizes[seg_ids] > hot_rows
+
+    outs: list[pa.Table] = []
+    sub_refs: list = []
+    if hot_mask.any():
+        sub_refs = _salt_hot_segments(
+            {"doc": doc_s, "sig": sig_s},
+            seg_starts,
+            seg_sizes,
+            hot_rows,
+            max(1, hot_rows // 2) if hot_rows < HOT_SHARD_ROWS else HOT_SHARD_ROWS,
+            _hot_remote("simhash", _hot_simhash_shard),
+            None,
+        )
+        cold = np.nonzero(~hot_mask)[0]
+        bk_s, doc_s, sig_s = bk_s[cold], doc_s[cold], sig_s[cold]
+    a_idx, b_idx = _segment_pairs(bk_s)
+    cold_out = _simhash_pairs_of(doc_s, sig_s.view(np.uint64), a_idx, b_idx)
+    if len(cold_out):
+        outs.append(cold_out)
+    if sub_refs:
+        outs.extend(tt for tt in ray.get(sub_refs) if len(tt))
+    if not outs:
+        return _EMPTY_SIM
+    return _distinct(pa.concat_tables(outs))
+
+
 def _simhash_bkey_batch(batch: pa.Table) -> pa.Table:
     """(band, key) -> one mixed int64 bkey for the bucketed exchange."""
     band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -949,7 +1174,9 @@ def _simhash_bkey_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs(sf_dir: str) -> pa.Table:
+def simhash_pairs(
+    sf_dir: str, hot_rows: int | None = None, driver_max_rows: int | None = None
+) -> pa.Table:
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -958,7 +1185,9 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
     ).map_batches(_simhash_bkey_batch, batch_format="pyarrow", zero_copy_batch=True)
     # cross-bucket dup rows carry identical hamming (sig is per-doc), so the
     # exchange's all-column distinct already collapses them
-    pairs = _bucketed_pair_exchange(emitted, _reduce_simhash_bucket)
+    pairs = _bucketed_pair_exchange(
+        emitted, _reduce_simhash_bucket, hot_rows=hot_rows, driver_max_rows=driver_max_rows
+    )
     if pairs.num_rows == 0:
         return _EMPTY_SIM
     return pairs.select(["doc_id_a", "doc_id_b", "hamming"]).sort_by(

@@ -2,6 +2,8 @@
 each is validated against its exact counterpart or a brute-force
 reimplementation on the sf0.01 tables."""
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
 
@@ -346,3 +348,50 @@ def test_sessionize_distributed_merge_path(ray_session):
         small.sort_values("user_id").reset_index(drop=True),
         big.sort_values("user_id").reset_index(drop=True),
     )
+
+
+def _boilerplate_docs_dir(tmp_path_factory=None):
+    """Corpus with ONE planted boilerplate prefix: half the docs share a
+    30-token template (hot block key / hot LSH buckets), arranged in exact
+    near-dup clusters so the pair set is non-trivial."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = "/tmp/graft_docs/boilerplate-400"
+    path = f"{out}/documents.parquet"
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(5)
+    boiler = " ".join(f"tpl{i}" for i in range(30))
+    texts, ids = [], []
+    for i in range(200):  # hot half: template + tiny per-cluster suffix
+        cluster, member = divmod(i, 4)
+        suffix = f"c{cluster}a c{cluster}b" + (f" v{member}" if member else "")
+        texts.append(boiler + " " + suffix)
+        ids.append(i)
+    for i in range(200, 400):  # cold half: random vocab
+        toks = rng.integers(0, 5000, rng.integers(8, 40))
+        texts.append(" ".join(f"w{t}" for t in toks))
+        ids.append(i)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)}),
+        path,
+    )
+    return out
+
+
+def test_hot_bucket_salting_matches_unsalted(ray_session):
+    """Salted (hot_rows forced tiny) and unsalted runs of all three pair
+    producers must emit IDENTICAL pair sets on a boilerplate-prefix corpus —
+    the shard-pair grid covers every hot-segment pair exactly once."""
+    from seronet_data_validator_ray.functions import dedup
+
+    d = _boilerplate_docs_dir()
+    for fn in (dedup.minhash_lsh_pairs, dedup.jaccard_pairs_exact, dedup.simhash_pairs):
+        base = fn(d).to_pandas()
+        salted = fn(d, hot_rows=24, driver_max_rows=0).to_pandas()
+        assert len(base) > 50, f"{fn.__name__}: fixture produced too few pairs"
+        pdt = base.sort_values(list(base.columns)).reset_index(drop=True)
+        sdt = salted.sort_values(list(salted.columns)).reset_index(drop=True)
+        assert pdt.equals(sdt), f"{fn.__name__}: salted != unsalted"

@@ -1038,6 +1038,55 @@ def part_rules(sf_dir: str) -> pa.Table:
     return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
 
 
+_VOCAB_LOOKUP_SQL = """
+SELECT 'l_partkey.in_dictionary' AS rule_id,
+       CAST(l_orderkey AS VARCHAR) AS doc_id, 'l_partkey' AS column_name,
+       CAST(l_partkey AS VARCHAR) AS observed, 'Error' AS severity
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 97 <> 0)
+"""
+
+
+@query("vocab_lookup_rules", _VOCAB_LOOKUP_SQL)
+def vocab_lookup_rules(sf_dir: str) -> pa.Table:
+    """Large-dictionary lookup kernel (M14, the icd10-analog): every
+    l_partkey must exist in the ACTIVE part-key dictionary (keys % 97 == 0
+    are 'retired codes' — the testdata is FK-clean, so the retirement rule
+    makes the lookup observable). The dictionary is read once on the driver,
+    sorted, broadcast via the validate() ctx (ray.put once, resolved once
+    per worker) and probed with vectorized searchsorted — the worker-state
+    pattern for reference tables too big for in_set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.spec import RuleSet, RuleSpec
+
+    keys = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dictionary = np.sort(keys[keys % 97 != 0])
+    rules = RuleSet(
+        name="lineitem",
+        key_column="l_orderkey",
+        rules=[
+            RuleSpec(
+                "l_partkey.in_dictionary", "l_partkey", "in_dictionary",
+                {"ref": "part_keys"},
+                message="part key missing from the reference dictionary",
+            ),
+        ],
+    )
+    res = validate(
+        sf_dir, rules, file_glob="lineitem.parquet", broadcast={"part_keys": dictionary}
+    )
+    v = res.violations
+    out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
+    return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
+
+
 _LINEITEM_CMP_SQL = """
 SELECT 'l_discount.le_tax' AS rule_id,
        CAST(l_orderkey AS VARCHAR) AS doc_id, 'l_discount' AS column_name,

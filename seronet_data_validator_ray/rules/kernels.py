@@ -352,8 +352,36 @@ def k_duration_future(table, column, params, ctx):
     return fail, observed
 
 
+def k_in_dictionary(table, column, params, ctx):
+    """M14 ≙ the icd10 stateful lookup (check_icd10,
+    /root/reference/File_Submission_Object.py:576-583): membership against a
+    LARGE reference dictionary held in WORKER STATE. The ctx broadcast is
+    ``ray.put`` once on the driver and resolved once per worker/actor
+    (stages/evaluate.RuleEvaluator), so a multi-million-entry code table is
+    never pickled into task closures or shipped per batch — the in_set
+    kernel's small-enum path does not scale there.
+
+    params: ``ref`` — ctx key whose value is a SORTED numpy array (sort at
+    build time). Membership is one vectorized searchsorted per batch:
+    O(log n) per value against an arbitrarily large dictionary, no per-call
+    hash-set construction."""
+    d = ctx[params["ref"]]
+    col = _col(table, column)
+    valid = _to_bool(pc.is_valid(col))
+    if col.null_count:
+        fill = params.get("null_fill", "" if pa.types.is_string(col.type) else 0)
+        col = pc.fill_null(col, fill)
+    vals = col.to_numpy(zero_copy_only=False)
+    if len(d) == 0:
+        return valid, None
+    pos = np.minimum(np.searchsorted(d, vals), len(d) - 1)
+    ok = d[pos] == vals
+    return (~ok) & valid, None
+
+
 KERNELS = {
     "not_null": k_not_null,
+    "in_dictionary": k_in_dictionary,
     "in_set": k_in_set,
     "regex": k_regex,
     "id_format": k_id_format,

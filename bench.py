@@ -152,9 +152,13 @@ QUERY_NAMES = [
     "cosine_near_dup_ivf",
     "text_quality",
     "events_asof_join",
+    "events_sessionize",
+    "events_running_total",
     "clinical_duration_rules",
     "clinical_viability_rules",
     "submission_violations",
+    "cross_group_rules",
+    "vocab_lookup_rules",
     "csv_cleanup",
 ]
 
@@ -248,21 +252,21 @@ def hw_calibration(lo: int, hi: int, rates: dict | None = None) -> dict:
 
 
 def run_scaling_attempts(sf_dir: str, lo: int, hi: int, attempts: int) -> dict:
-    """Repeat the paired scaling measurement and headline the attempt with
-    the best raw efficiency, keeping every attempt in the record. On this
-    sandbox the external noisy-neighbor load swings minute-to-minute by 2x+
-    (documented in BASELINE.md); a single paired run can land its two legs
-    in different noise windows, so the honest estimator of the engine's
-    scaling is the least-noise-poisoned pair, with the full distribution
-    attached for the reader."""
+    """Repeat the paired scaling measurement and headline the MEDIAN sane
+    attempt (best-of-k is an upward-biased estimator on a host whose
+    noisy-neighbor load swings 2x+ minute-to-minute — ADVICE r2); the best
+    attempt and the full distribution are reported alongside so the reader
+    sees both the central tendency and the least-poisoned pair."""
     results = [run_scaling(sf_dir, lo, hi) for _ in range(attempts)]
     # super-linear efficiency (> 1.0) can only mean the lo leg was
-    # noise-slowed — selecting it would headline the MOST poisoned pair, so
-    # such attempts are excluded from the headline (still recorded below)
-    sane = [r for r in results if r["value"] <= 1.0] or results
-    best = max(sane, key=lambda r: r["value"])
-    best = dict(best)
-    best["attempts"] = [
+    # noise-slowed — excluded from headline statistics (still recorded below)
+    sane = sorted(
+        [r for r in results if r["value"] <= 1.0] or results, key=lambda r: r["value"]
+    )
+    median = dict(sane[len(sane) // 2])
+    median["best_value"] = sane[-1]["value"]
+    median["median_value"] = median["value"]
+    median["attempts"] = [
         {
             "value": r["value"],
             "rows_per_sec": r["rows_per_sec"],
@@ -271,7 +275,7 @@ def run_scaling_attempts(sf_dir: str, lo: int, hi: int, attempts: int) -> dict:
         }
         for r in results
     ]
-    return best
+    return median
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:

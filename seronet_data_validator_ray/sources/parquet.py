@@ -37,6 +37,65 @@ class FileMeta:
     row_group_rows: list[int]
     schema_ok: bool
     schema_msg: str = ""
+    # input fingerprint (rows + mtime/size): lets resume re-validate a
+    # regenerated same-named file without a driver-side os.stat (which a
+    # URI input does not support)
+    fingerprint: str = ""
+
+
+def _fs_for(path: str):
+    """(filesystem, fs-local path, uri-prefix) for a plain local path or a
+    ``scheme://`` URI (``file://``, ``s3://``, ... — anything pyarrow.fs
+    resolves). The uri-prefix re-qualifies listed children so every
+    downstream open round-trips through the same filesystem."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+        scheme = path.split("://", 1)[0]
+        return fs, p, f"{scheme}://"
+    return pafs.LocalFileSystem(), path, ""
+
+
+def open_parquet_file(path: str) -> pq.ParquetFile:
+    """pq.ParquetFile for a local path or URI (worker-safe: resolves its own
+    filesystem handle, nothing non-picklable crosses the task boundary)."""
+    fs, p, _ = _fs_for(path)
+    from pyarrow.fs import LocalFileSystem
+
+    if isinstance(fs, LocalFileSystem):
+        return pq.ParquetFile(p)  # mmap-capable fast path
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
+def _list_input(path: str, file_glob: str) -> list[tuple[str, str]]:
+    """[(qualified path, mtime/size token)] for a directory (local or URI)
+    or a single file; object-store listing replaces the local glob
+    (≙ the S3 discovery of /root/reference/get_data_to_check.py:25-56)."""
+    import fnmatch
+
+    from pyarrow import fs as pafs
+
+    fs, p, prefix = _fs_for(path)
+    info = fs.get_file_info([p])[0]
+
+    def token(i) -> str:
+        mt = getattr(i, "mtime_ns", None)
+        if mt is None:
+            mt = i.mtime
+            mt = int(mt.timestamp() * 1e9) if mt is not None else None
+        return str(mt if mt is not None else i.size)
+
+    if info.type == pafs.FileType.Directory:
+        children = fs.get_file_info(pafs.FileSelector(p))
+        out = [
+            (prefix + c.path, token(c))
+            for c in children
+            if c.type == pafs.FileType.File
+            and fnmatch.fnmatch(os.path.basename(c.path), file_glob)
+        ]
+        return sorted(out)
+    return [(prefix + info.path if prefix else path, token(info))]
 
 
 @dataclass
@@ -94,17 +153,28 @@ def plan_read(
     expected_schema: pa.Schema | None = None,
     file_glob: str = "part-*.parquet",
 ) -> ReadPlan:
-    """Distributed footer scan → :class:`ReadPlan`. Ray must be initialised."""
+    """Distributed footer scan → :class:`ReadPlan`. Ray must be initialised.
+
+    ``paths`` may be a local directory, a ``scheme://`` URI directory
+    (``file://``, ``s3://``, …), or an explicit list of files/URIs — the
+    listing and every footer read go through pyarrow.fs, so a multi-node
+    deployment points this at an object store unchanged."""
     import ray
     import ray.data
 
     if isinstance(paths, str):
-        paths = sorted(glob.glob(os.path.join(paths, file_glob)))
-    if not paths:
+        listed = _list_input(paths, file_glob)
+    else:
+        listed = []
+        for p in paths:
+            listed.extend(_list_input(p, file_glob))
+        listed.sort()
+    if not listed:
         return ReadPlan([])
+    stamp_of = dict(listed)
 
     def footer(row: dict) -> dict:
-        f = pq.ParquetFile(row["path"])
+        f = open_parquet_file(row["path"])
         md = f.metadata
         return {
             "path": row["path"],
@@ -114,10 +184,12 @@ def plan_read(
             "schema_str": f.schema_arrow.serialize().to_pybytes(),
         }
 
-    if len(paths) <= 64:
-        metas = [footer({"path": p}) for p in paths]  # driver-side below fan-out threshold
+    if len(listed) <= 64:
+        metas = [footer({"path": p}) for p, _ in listed]  # driver-side below fan-out threshold
     else:
-        metas = ray.data.from_items([{"path": p} for p in paths]).map(footer).take_all()
+        metas = (
+            ray.data.from_items([{"path": p} for p, _ in listed]).map(footer).take_all()
+        )
 
     plan = ReadPlan()
     for m in sorted(metas, key=lambda r: r["path"]):
@@ -133,6 +205,7 @@ def plan_read(
                 row_group_rows=list(m["row_group_rows"]),
                 schema_ok=ok,
                 schema_msg=msg,
+                fingerprint=f"{m['num_rows']}:{stamp_of[m['path']]}",
             )
         )
     return plan
@@ -155,7 +228,7 @@ class _RowGroupReader:
 
     def __call__(self, items: pa.Table):
         for item in items.to_pylist():
-            f = pq.ParquetFile(item["path"])
+            f = open_parquet_file(item["path"])
             tbl = f.read_row_groups(
                 list(range(item["rg_start"], item["rg_end"])), columns=self.columns
             )

@@ -129,3 +129,31 @@ def run_rules_hash():
     from seronet_data_validator_ray.state.manifest import rule_set_hash
 
     return rule_set_hash(sequences_rules().rules)
+
+
+def test_validate_uri_input(ray_session, tmp_path):
+    """plan_read + the row-group reader accept scheme:// URIs end to end
+    (object-store-style discovery; file:// stands in for s3:// here): same
+    violations as the plain-path run, and resume works across the two
+    addressing styles because partitions/fingerprints are path-agnostic."""
+    from seronet_data_validator_ray.datagen import SEQUENCES_SCHEMA, SOURCES
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+
+    local_dir = ensure_seq("/root/testdata/sf0.001")
+    uri = "file://" + local_dir
+    kw = dict(
+        expected_schema=SEQUENCES_SCHEMA, broadcast={"allowed_sources": SOURCES}
+    )
+    plain = validate(local_dir, sequences_rules(), **kw)
+    via_uri = validate(uri, sequences_rules(), **kw)
+    a = plain.violations.to_pandas().sort_values(["rule_id", "partition", "row_index"]).reset_index(drop=True)
+    b = via_uri.violations.to_pandas().sort_values(["rule_id", "partition", "row_index"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+    # resume: URI run against an output_dir previously completed via plain path
+    out = str(tmp_path / "uri-resume")
+    validate(local_dir, sequences_rules(), output_dir=out, **kw)
+    res = validate(uri, sequences_rules(), output_dir=out, resume=True, **kw)
+    assert res.metrics["rows_validated_this_run"] == 0, "URI resume must skip completed work"

@@ -83,6 +83,9 @@ _VERIFY_FIRST = [
     "vocab_lookup_rules",
     "events_sessionize_dist",
     "dedup_minhash_lsh_salted",
+    "pii_scrub",
+    "seq_pack",
+    "docs_word_repetition",
     # round-2 additions absent from the round-2 window (VERDICT r2 item #1)
     "submission_violations",
     "submission_verdicts",

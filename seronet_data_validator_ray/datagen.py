@@ -435,3 +435,60 @@ def generate_clinical(out_dir: str, n_rows: int = 2000, seed: int = 77) -> str:
         json.dump({"params": params}, f)
     os.replace(marker + ".tmp", marker)
     return out_dir
+
+
+# planted-PII regexes — shared by the Ray redactor and the DuckDB oracle
+# (both RE2); brace quantifiers avoided so SQL templates can .format() them
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_ID_RE = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def generate_pii(out_dir: str, n_rows: int = 2000, seed: int = 91) -> str:
+    """Deterministic document table with PLANTED PII spans — the redaction
+    fixture (BASELINE.json instruction: no external data). ~40% of docs
+    carry 1-3 email addresses and ~25% carry 1-2 SSN-shaped ids embedded in
+    word soup; the rest are clean. Locals/domains are word-based so an email
+    can never accidentally contain the id shape."""
+    marker = os.path.join(out_dir, "_GEN_OK.json")
+    params = {"n_rows": n_rows, "seed": seed, "v": 1}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f).get("params") == params:
+                    return out_dir
+        except Exception:
+            pass
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "alpha", "beta", "gamma", "delta", "metric", "report", "contact",
+        "please", "send", "invoice", "meeting", "note", "draft", "review",
+        "project", "update", "status", "client", "signed", "copy",
+    ]
+    domains = ["example.com", "mail.test.org", "corp.example.net"]
+    texts, ids = [], []
+    for i in range(n_rows):
+        words = list(rng.choice(vocab, size=int(rng.integers(12, 40))))
+        r = rng.random()
+        if r < 0.40:
+            for _ in range(int(rng.integers(1, 4))):
+                local = f"{rng.choice(vocab)}.{rng.choice(vocab)}{int(rng.integers(1, 99))}"
+                email = f"{local}@{rng.choice(domains)}"
+                words.insert(int(rng.integers(0, len(words) + 1)), email)
+        if 0.35 <= r < 0.60:
+            for _ in range(int(rng.integers(1, 3))):
+                ssn = f"{rng.integers(100, 999)}-{rng.integers(10, 99)}-{rng.integers(1000, 9999)}"
+                words.insert(int(rng.integers(0, len(words) + 1)), ssn)
+        texts.append(" ".join(words))
+        ids.append(i)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, "pii_docs.parquet"))
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"params": params}, f)
+    os.replace(marker + ".tmp", marker)
+    return out_dir

@@ -545,3 +545,48 @@ def docs_stratified_sample(sf_dir: str) -> pa.Table:
         .map_groups(head_k, batch_format="pyarrow")
     )
     return _collect(ds)
+
+
+# ---------------------------------------------------------- word repetition
+
+_WORD_REP_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST((10000 * (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))))
+            // len(string_split(text, ' ')) AS BIGINT) AS rep_bp
+FROM documents
+"""
+
+
+@query("docs_word_repetition", _WORD_REP_SQL)
+def docs_word_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style intra-document repetition signal: duplicated-word ratio
+    in exact integer basis points. One vectorized pass per batch (split →
+    dictionary-encode → per-(row, token) unique → bincount — the dedup
+    tokenizer machinery), no shuffle at all."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _per_row_unique, _split_tokens
+    from seronet_data_validator_ray.util import ds_to_table
+
+    def rep(batch: pa.Table) -> pa.Table:
+        lengths, tok_ids, _dict = _split_tokens(batch["text"])
+        n = len(lengths)
+        rows_u, _ = _per_row_unique(lengths, tok_ids)
+        distinct = np.bincount(rows_u, minlength=n).astype(np.int64)
+        total = np.maximum(lengths, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(lengths, type=pa.int64()),
+                "n_distinct": pa.array(distinct, type=pa.int64()),
+                "rep_bp": pa.array((10000 * (lengths - distinct)) // total, type=pa.int64()),
+            }
+        )
+
+    return ds_to_table(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            rep, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by([("doc_id", "ascending")])

@@ -27,6 +27,7 @@ from seronet_data_validator_ray.datagen import (
 
 CLIN_BASE = "/tmp/graft_clinical"
 CSV_BASE = "/tmp/graft_csvclean"
+PII_BASE = "/tmp/graft_pii"
 REGISTRY: dict[str, tuple] = {}  # name -> (fn(sf_dir) -> table, sql_template | None)
 
 CURR_YEAR = int(CURR_DATE[:4])
@@ -57,6 +58,14 @@ def ensure_clinical(sf_dir: str) -> str:
     return d
 
 
+def ensure_pii_fixture(sf_dir: str) -> str:
+    from seronet_data_validator_ray.datagen import generate_pii
+
+    d = os.path.join(PII_BASE, _tag(sf_dir))
+    generate_pii(d, n_rows=_rows_for(sf_dir), seed=91)
+    return d
+
+
 def format_sql(name: str, sf_dir: str) -> str | None:
     _fn, sql = REGISTRY[name]
     if sql is None:
@@ -65,6 +74,8 @@ def format_sql(name: str, sf_dir: str) -> str | None:
         return sql.format(p=os.path.join(ensure_csv_fixture(sf_dir), "data.csv"))
     if name == "jsonl_events":
         return sql.format(j=ensure_jsonl_fixture(sf_dir))
+    if name == "pii_scrub":
+        return sql.format(p=os.path.join(ensure_pii_fixture(sf_dir), "pii_docs.parquet"))
     return sql.format(d=ensure_clinical(sf_dir))
 
 
@@ -406,3 +417,68 @@ def csv_cleanup(sf_dir: str) -> pa.Table:
     d = ensure_csv_fixture(sf_dir)
     ds = read_csv_typed(os.path.join(d, "data.csv"), force_str=("sample_id",), clean=True)
     return ds_to_table(ds).select(["sample_id", "visit", "score", "note"])
+
+
+# ----------------------------------------------------------- PII redaction
+
+_PII_SQL = """
+WITH scanned AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{id}')) AS BIGINT) AS n_ids,
+         regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                        '{id}', '<ID>', 'g') AS redacted
+  FROM read_parquet('{p}')
+)
+SELECT doc_id, n_emails, n_ids, redacted FROM scanned
+WHERE n_emails + n_ids > 0
+"""
+
+
+@query("pii_scrub", None)  # SQL attached below — template needs the regexes baked in
+def pii_scrub(sf_dir: str) -> pa.Table:
+    """PII detection + redaction over a planted-PII corpus (the scrubbing
+    stage of an LLM data pipeline): vectorized RE2 count + replace per
+    batch, identical patterns on the DuckDB side — value-level parity
+    including the fully redacted text."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from seronet_data_validator_ray.datagen import PII_EMAIL_RE, PII_ID_RE
+    from seronet_data_validator_ray.util import ds_to_table
+
+    d = ensure_pii_fixture(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "pii_docs.parquet"))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_emails = pc.count_substring_regex(text, PII_EMAIL_RE)
+        n_ids = pc.count_substring_regex(text, PII_ID_RE)
+        redacted = pc.replace_substring_regex(
+            pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>"), PII_ID_RE, "<ID>"
+        )
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_ids": pc.cast(n_ids, pa.int64()),
+                "redacted": redacted,
+            }
+        )
+        keep = pc.greater(pc.add(out["n_emails"], out["n_ids"]), 0)
+        return out.filter(keep)
+
+    return ds_to_table(
+        ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("doc_id", "ascending")])
+
+
+def _attach_pii_sql():
+    from seronet_data_validator_ray.datagen import PII_EMAIL_RE, PII_ID_RE
+
+    fn, _ = REGISTRY["pii_scrub"]
+    sql = _PII_SQL.replace("{email}", PII_EMAIL_RE).replace("{id}", PII_ID_RE)
+    REGISTRY["pii_scrub"] = (fn, sql)
+
+
+_attach_pii_sql()

@@ -544,3 +544,95 @@ def seq_split_clean(sf_dir: str) -> pa.Table:
             "n_clean": pa.array([rows[s] for s in srcs], type=pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------------- packing
+
+PACK_LEN = 2048
+
+_SEQ_PACK_SQL = (
+    _CTE
+    + f"""
+, s AS (
+  SELECT doc_id, COALESCE(len(tokens), 0) AS nt FROM seq WHERE doc_id IS NOT NULL
+), p AS (
+  SELECT doc_id, nt,
+         SUM(nt) OVER (ORDER BY doc_id, nt ROWS UNBOUNDED PRECEDING) - nt AS start_off
+  FROM s
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tok_actual,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {PACK_LEN} AS BIGINT) AS pack_id
+FROM p
+"""
+)
+
+
+@query("seq_pack", _SEQ_PACK_SQL)
+def seq_pack(sf_dir: str) -> pa.Table:
+    """Sequence packing for LLM training (chunked-concat layout): every doc
+    gets its exact global token offset in the deterministic concat order
+    (doc_id, len) and the id of the {PACK_LEN}-token pack its first token
+    lands in. Docs spanning a boundary continue into the next pack — the
+    standard pretraining chunking.
+
+    Plan shape (holds at 10^12 rows): one global sort — per-BLOCK token sums
+    are SCALARS, so the exclusive-prefix merge is block-count-sized on the
+    driver (never user/doc-cardinality) — then a vectorized per-block
+    cumsum emit. The degenerate one-partition prefix scan, cheaper than the
+    per-user machinery of functions.windows.running_number."""
+    import ray
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "tokens"], yield_rows=65536)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = pc.fill_null(pc.cast(pc.list_value_length(batch["tokens"]), pa.int64()), 0)
+        t = pa.table({"doc_id": batch["doc_id"], "nt": nt})
+        return t.filter(pc.is_valid(batch["doc_id"]))
+
+    mat = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .sort(["doc_id", "nt"])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+
+    def block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t["nt"]).as_py() or 0)
+
+    def emit(t: pa.Table, base: int) -> pa.Table:
+        nt = t["nt"].to_numpy(zero_copy_only=False)
+        start = base + np.cumsum(nt) - nt
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok_actual": pa.array(nt, type=pa.int64()),
+                "start_off": pa.array(start, type=pa.int64()),
+                "pack_id": pa.array(start // PACK_LEN, type=pa.int64()),
+            }
+        )
+
+    sum_task = ray.remote(block_sum)
+    sums = ray.get([sum_task.remote(r) for r in refs])
+    bases = np.zeros(len(sums), dtype=np.int64)
+    np.cumsum(sums[:-1], out=bases[1:])
+    emit_task = ray.remote(emit)
+    outs = [t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)]
+    if not outs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "n_tok_actual": pa.array([], type=pa.int64()),
+                "start_off": pa.array([], type=pa.int64()),
+                "pack_id": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(outs)

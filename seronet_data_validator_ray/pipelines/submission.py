@@ -121,10 +121,18 @@ _GROUP_ROWS_SCHEMA = pa.schema(
 )
 
 
+_GROUP_REDUCERS: dict = {}  # one reducer closure per predicate fn — keeps the
+# exchange's remote-function cache (dedup._REMOTE_FNS, keyed by reduce_fn
+# identity) from re-exporting a fresh definition on every query invocation
+
+
 def _make_group_reducer(check_fn):
     """Reducer for the CrossGroupCheck exchange: concat this bucket's slices,
     sort by (key, table), derive group offsets, apply the user predicate."""
     import numpy as np
+
+    if check_fn in _GROUP_REDUCERS:
+        return _GROUP_REDUCERS[check_fn]
 
     def reduce_groups(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
         parts = [p for p in parts if p is not None and len(p)]
@@ -143,6 +151,7 @@ def _make_group_reducer(check_fn):
             out = pa.Table.from_pylist(list(out), schema=_GROUP_ROWS_SCHEMA)
         return out.cast(_GROUP_ROWS_SCHEMA)
 
+    _GROUP_REDUCERS[check_fn] = reduce_groups
     return reduce_groups
 
 

@@ -173,11 +173,11 @@ def plan_read(
         return ReadPlan([])
     stamp_of = dict(listed)
 
-    def footer(row: dict) -> dict:
-        f = open_parquet_file(row["path"])
+    def footer(path: str) -> dict:
+        f = open_parquet_file(path)
         md = f.metadata
         return {
-            "path": row["path"],
+            "path": path,
             "num_rows": md.num_rows,
             "row_group_rows": [md.row_group(i).num_rows for i in range(md.num_row_groups)],
             "schema_names": f.schema_arrow.names,
@@ -185,11 +185,21 @@ def plan_read(
         }
 
     if len(listed) <= 64:
-        metas = [footer({"path": p}) for p, _ in listed]  # driver-side below fan-out threshold
+        metas = [footer(p) for p, _ in listed]  # driver-side below fan-out threshold
     else:
-        metas = (
-            ray.data.from_items([{"path": p} for p, _ in listed]).map(footer).take_all()
-        )
+        # plain chunked tasks — a full ray.data job costs ~1s of fixed
+        # executor machinery just to open footers
+        def footers(paths: list[str]) -> list[dict]:
+            return [footer(p) for p in paths]
+
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        chunk = -(-len(listed) // (2 * ncpu))
+        task = ray.remote(footers)
+        refs = [
+            task.remote([p for p, _ in listed[i : i + chunk]])
+            for i in range(0, len(listed), chunk)
+        ]
+        metas = [m for part in ray.get(refs) for m in part]
 
     plan = ReadPlan()
     for m in sorted(metas, key=lambda r: r["path"]):

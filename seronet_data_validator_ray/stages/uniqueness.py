@@ -85,13 +85,19 @@ def _reduce_bucket(*parts):
     return g.filter(pc.greater(g["cnt_sum"], 1))["h"].combine_chunks()
 
 
+_REMOTE_CACHE: dict = {}  # one exported remote wrapper per (fn, P) — not per call
+
+
 def _dup_hashes_exchange(mat, p_bits: int) -> np.ndarray:
     """Raw-Ray bucketed exchange over the materialized combiner blocks."""
     import ray
 
     P = 1 << p_bits
-    split_remote = ray.remote(num_returns=P)(_split_block)
-    reduce_remote = ray.remote(_reduce_bucket)
+    if ("split", P) not in _REMOTE_CACHE:
+        _REMOTE_CACHE[("split", P)] = ray.remote(num_returns=P)(_split_block)
+        _REMOTE_CACHE[("reduce", P)] = ray.remote(_reduce_bucket)
+    split_remote = _REMOTE_CACHE[("split", P)]
+    reduce_remote = _REMOTE_CACHE[("reduce", P)]
     split_refs = [split_remote.remote(b, p_bits) for b in mat.to_arrow_refs()]
     dup_refs = [reduce_remote.remote(*[r[p] for r in split_refs]) for p in range(P)]
     arrays = [a for a in ray.get(dup_refs) if len(a)]
@@ -112,33 +118,30 @@ def _dup_hashes_driver(mat) -> np.ndarray:
     return dups["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
 
-class _DupResolver:
+def _resolve_dups_batch(batch: pa.Table, dup_ref=None, key=None, partition_col=None) -> pa.Table:
     """Filtered re-scan: keep only rows whose key-hash is a duplicate hash.
-    The dup-hash array is broadcast once and fetched once per actor."""
 
-    def __init__(self, dup_ref, key: str, partition_col: str | None):
-        import ray
+    A stateless task (not an actor pool): the sorted dup-hash array is
+    broadcast once and resolved once per worker via the LRU broadcast cache,
+    so the pass runs on the already-warm task pool at full width with no
+    actor-spawn / autoscaling ramp — the resolve leg was the headline's
+    worst-scaling phase as an actor pool."""
+    from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
 
-        self.dups = np.sort(ray.get(dup_ref))
-        self.key = key
-        self.partition_col = partition_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.key)
-        batch = batch.filter(_valid_mask(col))
-        cols = [self.key] + (
-            [self.partition_col]
-            if self.partition_col and self.partition_col in batch.column_names
-            else []
-        )
-        batch = batch.select(cols)
-        if batch.num_rows == 0:
-            return batch
-        h = hash64(batch.column(self.key))
-        idx = np.searchsorted(self.dups, h)
-        idx[idx == len(self.dups)] = 0
-        mask = self.dups[idx] == h if len(self.dups) else np.zeros(len(h), bool)
-        return batch.filter(pa.array(mask))
+    dups = _resolve_broadcast(dup_ref)["dups"]
+    col = batch.column(key)
+    batch = batch.filter(_valid_mask(col))
+    cols = [key] + (
+        [partition_col] if partition_col and partition_col in batch.column_names else []
+    )
+    batch = batch.select(cols)
+    if batch.num_rows == 0:
+        return batch
+    h = hash64(batch.column(key))
+    idx = np.searchsorted(dups, h)
+    idx[idx == len(dups)] = 0
+    mask = dups[idx] == h if len(dups) else np.zeros(len(h), bool)
+    return batch.filter(pa.array(mask))
 
 
 def _empty(key: str, partition_col: str | None) -> pa.Table:
@@ -178,15 +181,15 @@ def find_duplicate_keys(
         return _empty(key, partition_col)
 
     resolved_ds = ds.map_batches(
-        _DupResolver,
-        fn_constructor_kwargs={
-            "dup_ref": ray.put(np.sort(dup_hashes)),
+        _resolve_dups_batch,
+        fn_kwargs={
+            "dup_ref": ray.put({"dups": np.sort(dup_hashes)}),
             "key": key,
             "partition_col": partition_col,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        batch_size=None,
     )
     tables = [t for t in ray.get(resolved_ds.materialize().to_arrow_refs()) if t is not None and len(t)]
     if not tables:

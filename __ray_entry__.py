@@ -79,6 +79,9 @@ def entry() -> Any:
 # oracle-parity test, tests/test_queries_oracle.py).
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
+    "docs_decontaminate",
+    "docs_gopher_repetition",
+    "events_dedup_window",
     "cross_group_rules",
     "vocab_lookup_rules",
     "events_sessionize_dist",

@@ -590,3 +590,85 @@ def docs_word_repetition(sf_dir: str) -> pa.Table:
             rep, batch_format="pyarrow", zero_copy_batch=True
         )
     ).sort_by([("doc_id", "ascending")])
+
+
+# ---------------------------------------------------------- decontamination
+
+_DECON_SQL = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
+sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
+"""
+
+
+@query("docs_decontaminate", _DECON_SQL)
+def docs_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: per-document count of 3-word shingles that
+    collide with the benchmark split's shingle set (the standard train-set
+    decontamination pass of an LLM pipeline). Small side reduced per batch
+    and broadcast once via ray.put; corpus side is ONE actor-pool streaming
+    pass — hash pre-filter by searchsorted, exact string verify only at
+    candidate positions, no shuffle anywhere."""
+    import ray
+
+    from seronet_data_validator_ray.functions.contamination import (
+        ContaminationScanner,
+        collect_benchmark_shingles,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ref = ray.put(collect_benchmark_shingles(ds))
+    out = ds.map_batches(
+        ContaminationScanner,
+        fn_constructor_kwargs={"bench_ref": bench_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+# ---------------------------------------------------- Gopher repetition bundle
+
+_GOPHER_SQL = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+u AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i, len(w) AS n FROM t),
+e AS (SELECT doc_id, i, n, w[i] AS a,
+             CASE WHEN i <= n-1 THEN w[i] || ' ' || w[i+1] END AS g2,
+             CASE WHEN i <= n-2 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS g3
+      FROM u),
+per AS (
+  SELECT doc_id, any_value(n) AS n_words,
+         count(g2) AS n_2g, count(DISTINCT g2) AS d_2g,
+         count(g3) AS n_3g, count(DISTINCT g3) AS d_3g
+  FROM e GROUP BY doc_id),
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, a, count(*) AS c FROM e GROUP BY doc_id, a) GROUP BY doc_id)
+SELECT per.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST((10000 * (n_2g - d_2g)) // greatest(n_2g, 1) AS BIGINT) AS dup_2g_bp,
+       CAST((10000 * (n_3g - d_3g)) // greatest(n_3g, 1) AS BIGINT) AS dup_3g_bp,
+       CAST((10000 * top_c) // n_words AS BIGINT) AS top_word_bp
+FROM per JOIN top USING (doc_id)
+"""
+
+
+@query("docs_gopher_repetition", _GOPHER_SQL)
+def docs_gopher_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition filter bundle (duplicate 2-gram / 3-gram
+    fraction + top-word dominance, exact integer basis points) — one
+    vectorized no-shuffle pass per batch; see
+    textstats.gopher_repetition_batch for the lexsort plan."""
+    from seronet_data_validator_ray.functions.textstats import gopher_repetition_batch
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            gopher_repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by([("doc_id", "ascending")])

@@ -228,3 +228,54 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         cols[f"hits_{lang}"] = pa.array(hits[lang], type=pa.int64())
     cols["pred_lang"] = pa.array(pred, type=pa.string())
     return pa.table(cols)
+
+
+def gopher_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition filter bundle (Rae et al. 2021 §A1.1), exact
+    integer basis points per document: duplicate 2-gram fraction, duplicate
+    3-gram fraction, and top-word dominance. One vectorized pass per batch
+    over the dictionary-encoded token stream: n-gram distinctness via lexsort
+    over (row, id0..idk-1) — no composite-key overflow at any batch
+    vocabulary — and top-word counts via np.maximum.at over distinct
+    (row, token) pairs. No shuffle; per-doc rows are final after one pass."""
+    from seronet_data_validator_ray.functions.contamination import shingle_positions
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    lengths, tok_ids, _dict = _split_tokens(batch["text"])
+    n = len(lengths)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+
+    # top-word dominance: max per-row count over distinct (row, token) pairs
+    order = np.lexsort((tok_ids, rows))
+    r_s, t_s = rows[order], tok_ids[order]
+    new = np.ones(len(r_s), dtype=bool)
+    new[1:] = (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])
+    seg_id = np.cumsum(new) - 1
+    seg_cnt = np.bincount(seg_id)
+    seg_row = r_s[new]
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, seg_row, seg_cnt)
+
+    def dup_bp(k: int) -> np.ndarray:
+        rws, starts = shingle_positions(lengths, k)
+        cols = [tok_ids[starts + j] for j in range(k)]
+        o = np.lexsort(tuple(reversed(cols)) + (rws,))
+        nw = np.ones(len(rws), dtype=bool)
+        if len(rws) > 1:
+            same = rws[o][1:] == rws[o][:-1]
+            for c in cols:
+                same &= c[o][1:] == c[o][:-1]
+            nw[1:] = ~same
+        total = np.maximum(lengths - (k - 1), 0)
+        distinct = np.bincount(rws[o][nw], minlength=n).astype(np.int64)
+        return (10000 * (total - distinct)) // np.maximum(total, 1)
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(lengths, type=pa.int64()),
+            "dup_2g_bp": pa.array(dup_bp(2), type=pa.int64()),
+            "dup_3g_bp": pa.array(dup_bp(3), type=pa.int64()),
+            "top_word_bp": pa.array((10000 * top) // np.maximum(lengths, 1), type=pa.int64()),
+        }
+    )

@@ -620,3 +620,124 @@ def sessionize(
     if not outs:
         return _SESSION_SCHEMA.empty_table()
     return pa.concat_tables(outs).sort_by([("user_id", "ascending")])
+
+
+# ------------------------------------------------------- windowed dedup (debounce)
+
+def _wd_last_row(block: pa.Table, user_col: str, type_col: str, ts_col: str):
+    """(user, type, ts_us) of the block's LAST row — the only state a
+    successor block needs. One tiny row per block; never per-user state."""
+    if len(block) == 0:
+        return None
+    i = len(block) - 1
+    ts = block[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+    return (
+        block[user_col][i].as_py(),
+        block[type_col][i].as_py(),
+        int(ts[i]),
+    )
+
+
+def _wd_emit(
+    block: pa.Table, pred, gap_max_us: int, user_col: str, type_col: str,
+    ts_col: str, id_col: str,
+) -> pa.Table:
+    """Vectorized lag within the sorted block; row 0 compares against the
+    predecessor block's last row (pred)."""
+    import pyarrow.compute as pc
+
+    n = len(block)
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            user_col: pa.array([], type=pa.int64()),
+            type_col: pa.array([], type=pa.string()),
+            "gap_us": pa.array([], type=pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    u = block[user_col].to_numpy(zero_copy_only=False)
+    ts = block[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+    t_arr = block[type_col]
+    if isinstance(t_arr, pa.ChunkedArray):
+        t_arr = t_arr.combine_chunks()
+    same = np.zeros(n, dtype=bool)
+    gap = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        same[1:] = (u[1:] == u[:-1]) & pc.equal(
+            t_arr.slice(1), t_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        gap[1:] = ts[1:] - ts[:-1]
+    if pred is not None:
+        same[0] = (u[0] == pred[0]) and (t_arr[0].as_py() == pred[1])
+        gap[0] = ts[0] - pred[2]
+    dup = same & (gap <= gap_max_us)
+    if not dup.any():
+        return empty
+    sel = pa.array(dup)
+    return pa.table(
+        {
+            id_col: block[id_col].filter(sel),
+            user_col: block[user_col].filter(sel),
+            type_col: t_arr.filter(sel),
+            "gap_us": pa.array(gap[dup], type=pa.int64()),
+        }
+    )
+
+
+def window_dedup(
+    ds,
+    gap_max_us: int = 300_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pa.Table:
+    """Windowed event dedup (telemetry debounce): flag every event whose
+    predecessor with the same (user, type) — in (ts, id) order — is within
+    ``gap_max_us``. Equivalent to the SQL ``lag(ts) OVER (PARTITION BY user,
+    type ORDER BY ts, id)`` gap filter.
+
+    Plan: ONE global sort on (user, type, ts, id) → per-block vectorized lag
+    in parallel tasks; the only cross-block state is each block's last
+    (user, type, ts) row, fetched as one tiny task per block and chained on
+    the driver (O(n_blocks) driver state, never O(users) or O(rows))."""
+    import ray
+
+    mat = ds.sort([user_col, type_col, ts_col, id_col]).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return _wd_emit(
+            pa.table({}), None, gap_max_us, user_col, type_col, ts_col, id_col
+        )
+    last_task = _cached_remote("wd_last", _wd_last_row)
+    lasts = ray.get([last_task.remote(r, user_col, type_col, ts_col) for r in refs])
+    preds, prev = [], None
+    for l in lasts:
+        preds.append(prev)
+        if l is not None:
+            prev = l
+    emit_task = _cached_remote("wd_emit", _wd_emit)
+    outs = ray.get(
+        [
+            emit_task.remote(
+                refs[i], preds[i], gap_max_us, user_col, type_col, ts_col, id_col
+            )
+            for i in range(len(refs))
+        ]
+    )
+    outs = [t for t in outs if len(t)]
+    if not outs:
+        return _wd_emit(
+            pa.table(
+                {
+                    user_col: pa.array([], type=pa.int64()),
+                    type_col: pa.array([], type=pa.string()),
+                    ts_col: pa.array([], type=pa.timestamp("us")),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            ),
+            None, gap_max_us, user_col, type_col, ts_col, id_col,
+        )
+    return pa.concat_tables(outs).sort_by([(id_col, "ascending")])

@@ -946,6 +946,31 @@ def events_sessionize_dist(sf_dir: str) -> pa.Table:
     ).sort_by([("user_id", "ascending")])
 
 
+_DEDUP_WINDOW_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id), ts) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(gap_us AS BIGINT) AS gap_us
+FROM g WHERE gap_us IS NOT NULL AND gap_us <= 300000000
+"""
+
+
+@query("events_dedup_window", _DEDUP_WINDOW_SQL)
+def events_dedup_window(sf_dir: str) -> pa.Table:
+    """Windowed event dedup (telemetry debounce): flag events whose same-
+    (user, type) predecessor is within 5 minutes — the lag()-gap window
+    family. One global sort, then per-block vectorized lag with only each
+    block's LAST row chained across blocks (O(blocks) driver state)."""
+    from seronet_data_validator_ray.functions.windows import window_dedup
+
+    return window_dedup(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]),
+        gap_max_us=300_000_000,
+    )
+
+
 @query(
     "order_total_consistency",
     """

@@ -435,3 +435,93 @@ def test_dedup_clusters_both_paths(ray_session):
     small = dedup_clusters(SF).to_pandas()
     big = dedup_clusters(SF, driver_max_pairs=0).to_pandas()
     assert small.equals(big)
+
+
+def test_shingle_hash_order_sensitive():
+    """Regression: the chained shingle hash must distinguish token order in
+    the FIRST two positions ('a row line' vs 'row a line' collided when the
+    head token was fed unmixed into the symmetric xor chain)."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.contamination import (
+        shingle_hashes,
+        shingle_positions,
+    )
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    texts = pa.array(["a row line", "row a line", "line row a", "a line row"])
+    lengths, tok_ids, dict_strs = _split_tokens(texts)
+    _, starts = shingle_positions(lengths, 3)
+    h = shingle_hashes(tok_ids, dict_strs, starts, 3)
+    assert len(set(h.tolist())) == 4, "permutations must hash distinctly"
+
+
+def test_decontaminate_scanner_matches_bruteforce(ray_session):
+    """ContaminationScanner (hash pre-filter + exact verify) equals a
+    per-doc brute-force shingle-set intersection on the sf0.01 corpus."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.contamination import (
+        BENCH_MOD,
+        K,
+        ContaminationScanner,
+        _bench_partial,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bp = _bench_partial(tbl)
+    h = np.unique(bp["h"].to_numpy(zero_copy_only=False))
+    strings = frozenset(bp["s"].to_pylist())
+    got = ContaminationScanner(bench=(h, strings))(tbl).to_pandas()
+    got = dict(zip(got.doc_id, got.n_hits))
+
+    # brute force: python shingle sets
+    bench = set()
+    rows = tbl.to_pylist()
+    for r in rows:
+        if r["doc_id"] % BENCH_MOD == 0:
+            w = r["text"].split(" ")
+            bench.update(" ".join(w[i : i + K]) for i in range(len(w) - K + 1))
+    want = {}
+    for r in rows:
+        if r["doc_id"] % BENCH_MOD == 0:
+            continue
+        w = r["text"].split(" ")
+        n = sum(" ".join(w[i : i + K]) in bench for i in range(len(w) - K + 1))
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want and len(want) > 0
+
+
+def test_window_dedup_multiblock_matches_pandas(ray_session):
+    """window_dedup's cross-block last-row chaining must survive a stream
+    where one (user, type) run spans many tiny blocks."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.windows import window_dedup
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 8, n).astype(np.int64)
+    types = np.array(["a", "b"], dtype=object)[rng.integers(0, 2, n)]
+    ts = rng.integers(0, 10**9, n).astype(np.int64)  # us, dense -> many dups
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(users),
+            "event_type": pa.array(types.tolist(), type=pa.string()),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        }
+    )
+    gap = 5_000_000
+    chunks = [tbl.slice(i, 100) for i in range(0, n, 100)]  # 40 blocks
+    got = window_dedup(ray.data.from_arrow(chunks), gap_max_us=gap).to_pandas()
+
+    df = tbl.to_pandas().sort_values(["user_id", "event_type", "ts", "event_id"])
+    g = df.groupby(["user_id", "event_type"], sort=False)
+    gap_us = (df["ts"] - g["ts"].shift()).dt.total_seconds() * 1e6
+    want = df[gap_us.notna() & (gap_us <= gap)].sort_values("event_id")
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert len(got) > 0

@@ -79,6 +79,8 @@ def entry() -> Any:
 # oracle-parity test, tests/test_queries_oracle.py).
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
+    "docs_quality_filter",
+    "events_funnel",
     "docs_decontaminate",
     "docs_gopher_repetition",
     "events_dedup_window",
@@ -104,6 +106,7 @@ _VERIFY_FIRST = [
 _VERIFY_LAST = [
     # rows-only ops: exact-counterpart cross-checks live in tests/ (the
     # external gate would record only a weak rows-count row for these)
+    "embedding_kmeans",
     "cosine_near_dup_ivf",
     "ann_ivf",
     "doc_fingerprint",

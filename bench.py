@@ -160,6 +160,9 @@ QUERY_NAMES = [
     "cross_group_rules",
     "vocab_lookup_rules",
     "csv_cleanup",
+    "docs_decontaminate",
+    "docs_gopher_repetition",
+    "events_dedup_window",
 ]
 
 

@@ -672,3 +672,67 @@ def docs_gopher_repetition(sf_dir: str) -> pa.Table:
             gopher_repetition_batch, batch_format="pyarrow", zero_copy_batch=True
         )
     ).sort_by([("doc_id", "ascending")])
+
+
+# ---------------------------------------------------- composite quality gate
+
+_QF_SQL = f"""
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{_sql_word_pat(textstats.STOPWORDS)}')) AS BIGINT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct
+  FROM documents),
+t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s FROM pos),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_2g,
+             CAST(count(DISTINCT s) AS BIGINT) AS d_2g
+      FROM g2 GROUP BY doc_id),
+r AS (
+  SELECT m.doc_id, n_words,
+         (10000 * (n_chars - (n_words - 1))) // greatest(n_words, 1) AS mean_word_len_bp,
+         (10000 * n_stop) // greatest(n_words, 1) AS stop_ratio_bp,
+         (10000 * n_punct) // greatest(n_chars, 1) AS punct_ratio_bp,
+         coalesce((10000 * (d.n_2g - d.d_2g)) // greatest(d.n_2g, 1), 0) AS dup_2g_bp
+  FROM m LEFT JOIN d ON m.doc_id = d.doc_id),
+f AS (
+  SELECT *,
+         (CASE WHEN n_words BETWEEN {textstats.QF_MIN_WORDS} AND {textstats.QF_MAX_WORDS} THEN 0 ELSE 1 END
+        + CASE WHEN mean_word_len_bp BETWEEN {textstats.QF_MWL_MIN_BP} AND {textstats.QF_MWL_MAX_BP} THEN 0 ELSE 2 END
+        + CASE WHEN stop_ratio_bp >= {textstats.QF_STOP_MIN_BP} THEN 0 ELSE 4 END
+        + CASE WHEN punct_ratio_bp <= {textstats.QF_PUNCT_MAX_BP} THEN 0 ELSE 8 END
+        + CASE WHEN dup_2g_bp <= {textstats.QF_DUP2G_MAX_BP} THEN 0 ELSE 16 END) AS fail_mask
+  FROM r)
+SELECT doc_id, n_words, mean_word_len_bp, stop_ratio_bp, punct_ratio_bp, dup_2g_bp,
+       CAST(fail_mask AS BIGINT) AS fail_mask,
+       CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+"""
+
+
+@query("docs_quality_filter", _QF_SQL)
+def docs_quality_filter(sf_dir: str) -> pa.Table:
+    """Composite C4/Gopher-style quality gate: five exact integer-bp signals
+    (word count, mean word length, stopword density, punct density,
+    duplicate-2-gram fraction) → fail bitmask + keep verdict. One vectorized
+    no-shuffle pass; thresholds are module constants shared with the SQL."""
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            textstats.quality_filter_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by([("doc_id", "ascending")])
+
+
+# ---------------------------------------------------- distributed k-means
+
+@query("embedding_kmeans", None)  # iterative; not SQL-expressible — exact numpy cross-check in tests
+def embedding_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed spherical k-means (semantic clustering / semantic-dedup
+    bucketing): exact Lloyd over the FULL embeddings table — per-batch
+    (count, sum) combiners, K x D driver state per iteration, deterministic
+    init + 1e-6 centroid rounding (partial-order invariant). See
+    functions/kmeans.py."""
+    from seronet_data_validator_ray.functions.kmeans import kmeans_assignments
+
+    return kmeans_assignments(sf_dir)

@@ -279,3 +279,75 @@ def gopher_repetition_batch(batch: pa.Table) -> pa.Table:
             "top_word_bp": pa.array((10000 * top) // np.maximum(lengths, 1), type=pa.int64()),
         }
     )
+
+
+# C4/Gopher-style composite quality gate thresholds (exact integer bp).
+# Bits in fail_mask: 1 word-count, 2 mean-word-len, 4 stopword-density,
+# 8 punct-density, 16 duplicate-2gram.
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 100_000
+QF_MWL_MIN_BP = 30_000
+QF_MWL_MAX_BP = 48_000
+QF_STOP_MIN_BP = 200
+QF_PUNCT_MAX_BP = 1_500
+QF_DUP2G_MAX_BP = 800
+
+
+def quality_filter_batch(batch: pa.Table) -> pa.Table:
+    """Composite corpus quality gate (C4 / Gopher rule family): five exact
+    integer-bp signals gated against fixed thresholds, emitting a fail
+    bitmask and the keep verdict. Reuses the text_quality counting kernels
+    plus the duplicate-2-gram lexsort; one vectorized pass, no shuffle."""
+    from seronet_data_validator_ray.functions.contamination import shingle_positions
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = pc.add(pc.count_substring(text, " "), 1).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_stop = (
+        pc.count_substring_regex(text, _word_pattern(STOPWORDS))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_punct = (
+        pc.count_substring_regex(text, r"[^a-zA-Z0-9 ]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    mwl_bp = (10000 * (n_chars - (n_words - 1))) // np.maximum(n_words, 1)
+    stop_bp = (10000 * n_stop) // np.maximum(n_words, 1)
+    punct_bp = (10000 * n_punct) // np.maximum(n_chars, 1)
+
+    # duplicate-2-gram fraction via the gopher lexsort plan
+    lengths, tok_ids, _dict = _split_tokens(text)
+    n = len(lengths)
+    rws, starts = shingle_positions(lengths, 2)
+    c0, c1 = tok_ids[starts], tok_ids[starts + 1]
+    o = np.lexsort((c1, c0, rws))
+    nw = np.ones(len(rws), dtype=bool)
+    if len(rws) > 1:
+        nw[1:] = ~(
+            (rws[o][1:] == rws[o][:-1]) & (c0[o][1:] == c0[o][:-1]) & (c1[o][1:] == c1[o][:-1])
+        )
+    total2 = np.maximum(lengths - 1, 0)
+    distinct2 = np.bincount(rws[o][nw], minlength=n).astype(np.int64)
+    dup2_bp = (10000 * (total2 - distinct2)) // np.maximum(total2, 1)
+
+    fail = np.zeros(n, dtype=np.int64)
+    fail += np.where((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS), 1, 0)
+    fail += np.where((mwl_bp < QF_MWL_MIN_BP) | (mwl_bp > QF_MWL_MAX_BP), 2, 0)
+    fail += np.where(stop_bp < QF_STOP_MIN_BP, 4, 0)
+    fail += np.where(punct_bp > QF_PUNCT_MAX_BP, 8, 0)
+    fail += np.where(dup2_bp > QF_DUP2G_MAX_BP, 16, 0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len_bp": pa.array(mwl_bp, type=pa.int64()),
+            "stop_ratio_bp": pa.array(stop_bp, type=pa.int64()),
+            "punct_ratio_bp": pa.array(punct_bp, type=pa.int64()),
+            "dup_2g_bp": pa.array(dup2_bp, type=pa.int64()),
+            "fail_mask": pa.array(fail, type=pa.int64()),
+            "keep": pa.array((fail == 0).astype(np.int64), type=pa.int64()),
+        }
+    )

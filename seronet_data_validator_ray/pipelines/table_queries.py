@@ -971,6 +971,66 @@ def events_dedup_window(sf_dir: str) -> pa.Table:
     )
 
 
+_FUNNEL_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+j AS (SELECT p.event_id, p.user_id,
+             CAST(max(CASE WHEN v.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+             AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+      GROUP BY p.event_id, p.user_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(conv) AS BIGINT) AS n_converted
+FROM j GROUP BY user_id
+"""
+
+
+@query("events_funnel", _FUNNEL_SQL)
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Funnel conversion (view → purchase within 1 hour, per user): the
+    ordered-step window family. Filter to the two step types AT THE READ,
+    one groupby(user) shuffle, then a vectorized per-group existence probe:
+    searchsorted of each purchase ts against the user's sorted view ts —
+    a view exists in (p-1h, p] iff the count of views ≤ p.ts exceeds the
+    count of views ≤ p.ts-1h."""
+    import numpy as np
+
+    WINDOW_US = 3_600_000_000
+
+    def probe(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+        is_p = pc.equal(g["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        p_ts = ts[is_p]
+        v_ts = np.sort(ts[~is_p])
+        hi = np.searchsorted(v_ts, p_ts, side="right")
+        lo = np.searchsorted(v_ts, p_ts - WINDOW_US, side="right")
+        if not len(p_ts):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_purchases": pa.array([], type=pa.int64()),
+                    "n_converted": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1).combine_chunks()
+                if isinstance(g["user_id"], pa.ChunkedArray)
+                else g["user_id"].slice(0, 1),
+                "n_purchases": pa.array([len(p_ts)], type=pa.int64()),
+                "n_converted": pa.array([int((hi > lo).sum())], type=pa.int64()),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        .filter(expr="event_type == 'purchase' or event_type == 'view'")
+        .groupby("user_id")
+        .map_groups(probe, batch_format="pyarrow")
+    )
+    return _ds_table(ds).sort_by([("user_id", "ascending")])
+
+
 @query(
     "order_total_consistency",
     """

@@ -525,3 +525,36 @@ def test_window_dedup_multiblock_matches_pandas(ray_session):
     want = df[gap_us.notna() & (gap_us <= gap)].sort_values("event_id")
     assert list(got["event_id"]) == list(want["event_id"])
     assert len(got) > 0
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    """Distributed exact Lloyd must equal the single-process numpy reference
+    (same init, same 1e-6 rounding) and be invariant to block count."""
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions.kmeans import (
+        kmeans_assignments,
+        kmeans_fit,
+        kmeans_reference,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    vecs = (
+        tbl["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), -1)
+    )
+    ref_cents, ref_assign = kmeans_reference(vecs, ids)
+
+    got = kmeans_assignments(SF).to_pandas()
+    order = np.argsort(ids, kind="stable")
+    assert list(got["vec_id"]) == list(ids[order])
+    assert list(got["cluster"]) == list(ref_assign)
+    assert got["cluster"].nunique() > 1
+
+    # block-count invariance: 1 block vs many tiny blocks
+    chunks = [tbl.slice(i, 40) for i in range(0, len(tbl), 40)]
+    c_many = kmeans_fit(ray.data.from_arrow(chunks))
+    c_one = kmeans_fit(ray.data.from_arrow(tbl))
+    assert np.array_equal(c_many, c_one)

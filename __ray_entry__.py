@@ -79,6 +79,7 @@ def entry() -> Any:
 # oracle-parity test, tests/test_queries_oracle.py).
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
+    "seq_drift",
     "docs_quality_filter",
     "events_funnel",
     "docs_decontaminate",

@@ -56,6 +56,18 @@ def ensure_seq(sf_dir: str) -> str:
     return d
 
 
+def clean_dir_for(sf_dir: str) -> str:
+    return seq_dir_for(sf_dir).replace("-bad", "-clean")
+
+
+def ensure_clean(sf_dir: str) -> str:
+    """Clean generation at the same scale/seed — the drift reference corpus
+    (same files entry() feeds to compute_reference_histograms)."""
+    d = clean_dir_for(sf_dir)
+    generate_sequences(d, n_rows=seq_rows_for(sf_dir), seed=42, bad=False)
+    return d
+
+
 _CTE = """
 WITH seq AS (
   SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source
@@ -472,7 +484,9 @@ def format_sql(name: str, sf_dir: str) -> str | None:
     fn, sql = REGISTRY[name]
     if sql is None:
         return None
-    return sql.format(d=seq_dir_for(sf_dir))
+    if "{c}" in sql:
+        ensure_clean(sf_dir)  # the oracle reads the clean reference files too
+    return sql.format(d=seq_dir_for(sf_dir), c=clean_dir_for(sf_dir))
 
 
 # ----------------------------------------------------------------- clean-split sink
@@ -636,3 +650,229 @@ def seq_pack(sf_dir: str) -> pa.Table:
             }
         )
     return pa.concat_tables(outs)
+
+
+# ----------------------------------------------------------------- drift stats
+
+_LEN_NBINS = 32
+
+_DRIFT_SQL = f"""
+WITH bad AS (
+  SELECT tokens, CAST(n_tok AS BIGINT) AS n_tok, source
+  FROM read_parquet('{{d}}/part-*.parquet', union_by_name=true, filename=true)
+  WHERE filename NOT LIKE '%badschema%'
+), cln AS (
+  SELECT tokens, CAST(n_tok AS BIGINT) AS n_tok, source
+  FROM read_parquet('{{c}}/part-*.parquet', union_by_name=true)
+), srcs AS (SELECT DISTINCT source FROM cln),
+tbins AS (SELECT range AS bin FROM range({_NBINS})),
+lbins AS (SELECT range AS bin FROM range({_LEN_NBINS})),
+ot AS (
+  SELECT source,
+         CAST(least(greatest(floor(x * {_NBINS}.0 / {VOCAB}.0), 0), {_NBINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM (SELECT source, unnest(tokens) AS x FROM bad) GROUP BY 1, 2
+), rt AS (
+  SELECT source,
+         CAST(least(greatest(floor(x * {_NBINS}.0 / {VOCAB}.0), 0), {_NBINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM (SELECT source, unnest(tokens) AS x FROM cln) GROUP BY 1, 2
+), ol AS (
+  SELECT source,
+         CAST(least(greatest(floor(n_tok * {_LEN_NBINS}.0 / {MAX_LEN + 1}.0), 0), {_LEN_NBINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM bad WHERE n_tok IS NOT NULL GROUP BY 1, 2
+), rl AS (
+  SELECT source,
+         CAST(least(greatest(floor(n_tok * {_LEN_NBINS}.0 / {MAX_LEN + 1}.0), 0), {_LEN_NBINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM cln GROUP BY 1, 2
+), jt AS (
+  SELECT s.source, b.bin, COALESCE(o.c, 0) AS oc, COALESCE(r.c, 0) AS rc
+  FROM srcs s CROSS JOIN tbins b
+  LEFT JOIN ot o ON o.source = s.source AND o.bin = b.bin
+  LEFT JOIN rt r ON r.source = s.source AND r.bin = b.bin
+), ct AS (
+  SELECT source, bin, oc, rc,
+         SUM(oc) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS co,
+         SUM(rc) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cr,
+         SUM(oc) OVER (PARTITION BY source) AS no,
+         SUM(rc) OVER (PARTITION BY source) AS nr
+  FROM jt
+), tok AS (
+  SELECT source,
+         CAST(MAX(ABS(co * nr - cr * no)) AS BIGINT) AS ks_tok,
+         CAST(SUM(ABS(oc * nr - rc * no)) AS BIGINT) AS l1_tok,
+         CAST(MAX(no) AS BIGINT) AS n_tok_obs, CAST(MAX(nr) AS BIGINT) AS n_tok_ref
+  FROM ct GROUP BY source
+), jl AS (
+  SELECT s.source, b.bin, COALESCE(o.c, 0) AS oc, COALESCE(r.c, 0) AS rc
+  FROM srcs s CROSS JOIN lbins b
+  LEFT JOIN ol o ON o.source = s.source AND o.bin = b.bin
+  LEFT JOIN rl r ON r.source = s.source AND r.bin = b.bin
+), cl AS (
+  SELECT source, bin, oc, rc,
+         SUM(oc) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS co,
+         SUM(rc) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cr,
+         SUM(oc) OVER (PARTITION BY source) AS no,
+         SUM(rc) OVER (PARTITION BY source) AS nr
+  FROM jl
+), lent AS (
+  SELECT source,
+         CAST(MAX(ABS(co * nr - cr * no)) AS BIGINT) AS ks_len,
+         CAST(SUM(ABS(oc * nr - rc * no)) AS BIGINT) AS l1_len,
+         CAST(MAX(no) AS BIGINT) AS n_rows_obs, CAST(MAX(nr) AS BIGINT) AS n_rows_ref
+  FROM cl GROUP BY source
+)
+SELECT t.source, ks_tok, l1_tok, n_tok_obs, n_tok_ref,
+       ks_len, l1_len, n_rows_obs, n_rows_ref,
+       CAST(CASE WHEN 200 * ks_tok > n_tok_obs * n_tok_ref
+                   OR 200 * ks_len > n_rows_obs * n_rows_ref
+            THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM tok t JOIN lent l ON t.source = l.source
+ORDER BY t.source
+"""
+
+
+def _drift_hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-source (bin, count) partials for BOTH the 64-bin token
+    histogram (bins 0..63) and the 32-bin n_tok histogram (bins 64..95) —
+    one zero-copy flatten + two bincounts, no Python over rows."""
+    from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+    lengths, flat = flat_list_view(batch, "tokens", {})
+    tb = flat.astype(np.int64, copy=True)
+    np.multiply(tb, np.int64(_NBINS), out=tb)
+    np.floor_divide(tb, np.int64(VOCAB), out=tb)
+    np.clip(tb, 0, _NBINS - 1, out=tb)
+    src = np.asarray(batch.column("source").to_numpy(zero_copy_only=False), dtype=object)
+    uniq, gidx = np.unique(src, return_inverse=True)
+    parent = np.repeat(gidx, lengths)
+    combo_t = np.bincount(parent * _NBINS + tb, minlength=len(uniq) * _NBINS).reshape(
+        len(uniq), _NBINS
+    )
+    nt = batch.column("n_tok")
+    lb = np.asarray(
+        pc.fill_null(nt, 0).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    np.multiply(lb, np.int64(_LEN_NBINS), out=lb)
+    np.floor_divide(lb, np.int64(MAX_LEN + 1), out=lb)
+    np.clip(lb, 0, _LEN_NBINS - 1, out=lb)
+    vmask = np.asarray(pc.is_valid(nt).to_numpy(zero_copy_only=False), dtype=bool)
+    combo_l = np.bincount(
+        (gidx * _LEN_NBINS + lb)[vmask], minlength=len(uniq) * _LEN_NBINS
+    ).reshape(len(uniq), _LEN_NBINS)
+    rows_src, rows_bin, rows_n = [], [], []
+    for k, s in enumerate(uniq):
+        nz = np.nonzero(combo_t[k])[0]
+        rows_src += [str(s)] * len(nz)
+        rows_bin += nz.tolist()
+        rows_n += combo_t[k][nz].tolist()
+        nz = np.nonzero(combo_l[k])[0]
+        rows_src += [str(s)] * len(nz)
+        rows_bin += (nz + _NBINS).tolist()
+        rows_n += combo_l[k][nz].tolist()
+    return pa.table(
+        {
+            "source": pa.array(rows_src, type=pa.string()),
+            "bin": pa.array(rows_bin, type=pa.int64()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        }
+    )
+
+
+def _source_hists(d: str) -> dict:
+    """{source: (tok_hist int64[64], len_hist int64[32])} via distributed
+    map_batches partials + one tiny driver Arrow group_by merge (partials are
+    <= n_sources * 96 rows per block — same rationale as seq_token_hist)."""
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+    from seronet_data_validator_ray.util import ds_to_table
+
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(
+        plan.work_items(), columns=["tokens", "n_tok", "source"], yield_rows=8192
+    ).map_batches(
+        _drift_hist_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    partials = ds_to_table(ds)
+    g = partials.group_by(["source", "bin"]).aggregate([("n", "sum")])
+    srcs = g.column("source").to_numpy(zero_copy_only=False)
+    bins = g.column("bin").to_numpy(zero_copy_only=False)
+    ns = g.column("n_sum").to_numpy(zero_copy_only=False)
+    out: dict = {}
+    for s in np.unique(np.asarray(srcs, dtype=object)):
+        m = srcs == s
+        tok = np.zeros(_NBINS, dtype=np.int64)
+        ln = np.zeros(_LEN_NBINS, dtype=np.int64)
+        b, v = bins[m], ns[m]
+        tm = b < _NBINS
+        tok[b[tm]] = v[tm]
+        ln[b[~tm] - _NBINS] = v[~tm]
+        out[str(s)] = (tok, ln)
+    return out
+
+
+@query("seq_drift", _DRIFT_SQL)
+def seq_drift(sf_dir: str) -> pa.Table:
+    """Distribution-drift detection per source partition, driver-checkable
+    mirror of the DriftScorer actor stage (stages/drift.py, SURVEY.md ST4;
+    ≙ reference-state drift comparison /root/reference/Data_Validation_v1.py:277-303).
+
+    Observed = the bad corpus; reference = the clean generation at the same
+    scale (what entry() feeds compute_reference_histograms). Statistics are
+    INTEGER-EXACT cross-multiplied forms so the DuckDB oracle hash-matches
+    bit-for-bit: with per-source observed counts o_b (N_o total) and
+    reference counts r_b (N_r),
+
+      ks_* = max_b |cum(o)_b * N_r - cum(r)_b * N_o|   (= KS D * N_o * N_r)
+      l1_* = sum_b |o_b * N_r - r_b * N_o|             (= L1 distance * N_o * N_r)
+
+    and `drifted` applies the D > 0.005 effect-size gate as the exact integer
+    comparison 200*ks > N_o*N_r. Python-int arithmetic on the (sources x 96)
+    merged table avoids int64 overflow at any corpus size (DuckDB's HUGEINT
+    does the same on the oracle side). The drift plant shifts source "forums"
+    wholesale (datagen.py:155), which this flags."""
+    obs = _source_hists(ensure_seq(sf_dir))
+    ref = _source_hists(ensure_clean(sf_dir))
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            "source ks_tok l1_tok n_tok_obs n_tok_ref "
+            "ks_len l1_len n_rows_obs n_rows_ref drifted".split()
+        )
+    }
+    for s in sorted(ref):
+        rt, rl = ref[s]
+        ot, ol = obs.get(s, (np.zeros(_NBINS, dtype=np.int64), np.zeros(_LEN_NBINS, dtype=np.int64)))
+
+        def stats(o, r):
+            o = [int(x) for x in o]
+            r = [int(x) for x in r]
+            no, nr = sum(o), sum(r)
+            co = cr = 0
+            ks = l1 = 0
+            for ob, rb in zip(o, r):
+                co += ob
+                cr += rb
+                ks = max(ks, abs(co * nr - cr * no))
+                l1 += abs(ob * nr - rb * no)
+            return ks, l1, no, nr
+
+        ks_t, l1_t, no_t, nr_t = stats(ot, rt)
+        ks_l, l1_l, no_l, nr_l = stats(ol, rl)
+        cols["source"].append(s)
+        cols["ks_tok"].append(ks_t)
+        cols["l1_tok"].append(l1_t)
+        cols["n_tok_obs"].append(no_t)
+        cols["n_tok_ref"].append(nr_t)
+        cols["ks_len"].append(ks_l)
+        cols["l1_len"].append(l1_l)
+        cols["n_rows_obs"].append(no_l)
+        cols["n_rows_ref"].append(nr_l)
+        cols["drifted"].append(
+            int(200 * ks_t > no_t * nr_t or 200 * ks_l > no_l * nr_l)
+        )
+    arrays = {"source": pa.array(cols["source"], type=pa.string())}
+    for k in list(cols)[1:]:
+        arrays[k] = pa.array(cols[k], type=pa.int64())
+    return pa.table(arrays)

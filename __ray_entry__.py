@@ -80,6 +80,7 @@ def entry() -> Any:
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "seq_drift",
+    "docs_dup_ngrams",
     "docs_quality_filter",
     "events_funnel",
     "docs_decontaminate",

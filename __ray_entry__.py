@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "seq_drift",
     "docs_dup_ngrams",
+    "docs_tfidf",
     "docs_quality_filter",
     "events_funnel",
     "docs_decontaminate",

@@ -889,3 +889,121 @@ def docs_dup_ngrams(sf_dir: str) -> pa.Table:
         }
     )
     return out.sort_by([("doc_id", "ascending")])
+
+
+# ------------------------------------------------------------------ tf-idf top terms
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.w AS term, t.tf, d.df,
+         (t.tf * 1000000) // d.df AS tfidf_scaled,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY (t.tf * 1000000) // d.df DESC, t.w
+         ) AS rk
+  FROM tf t JOIN df d ON t.w = d.w
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(tfidf_scaled AS BIGINT) AS tfidf_scaled
+FROM scored WHERE rk <= {_TFIDF_K}
+"""
+
+
+class _TfidfTopK:
+    """Actor-pool stage: the corpus document-frequency table rides in actor
+    state (fetched from the object store ONCE per actor in __init__ — the
+    broadcast-small-side pattern), per-batch work is dictionary-encoded
+    run-length counting + one lexsort; no Python over token positions."""
+
+    def __init__(self, df_ref, k: int = _TFIDF_K):
+        import ray
+
+        self.df_map = ray.get(df_ref)  # dict term -> corpus doc frequency
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "tfidf_scaled": pa.array([], type=pa.int64()),
+            }
+        )
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs or not len(lengths):
+            return empty
+        doc = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        row_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        # per-(row, token) term frequencies: one lexsort + run-length
+        order = np.lexsort((tok_ids, row_idx))
+        t_s, r_s = tok_ids[order], row_idx[order]
+        new = np.r_[True, (t_s[1:] != t_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.r_[starts, len(t_s)]).astype(np.int64)
+        pr, pt = r_s[starts], t_s[starts]
+        # df lookup + string rank, both bounded by the batch dictionary
+        dfs_dict = np.array([self.df_map.get(t, 1) for t in dict_strs], dtype=np.int64)
+        term_rank = np.empty(len(dict_strs), dtype=np.int64)
+        term_rank[np.argsort(np.asarray(dict_strs, dtype=object))] = np.arange(len(dict_strs))
+        score = (tf * 1_000_000) // dfs_dict[pt]
+        sel_order = np.lexsort((term_rank[pt], -score, pr))
+        seg_starts = np.nonzero(np.r_[True, pr[sel_order][1:] != pr[sel_order][:-1]])[0]
+        seg_sizes = np.diff(np.r_[seg_starts, len(sel_order)])
+        cumcount = np.arange(len(sel_order)) - np.repeat(seg_starts, seg_sizes)
+        top = sel_order[cumcount < self.k]
+        names = np.asarray(dict_strs, dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[pr[top]], type=pa.int64()),
+                "term": pa.array(names[pt[top]], type=pa.string()),
+                "tf": pa.array(tf[top], type=pa.int64()),
+                "df": pa.array(dfs_dict[pt[top]], type=pa.int64()),
+                "tfidf_scaled": pa.array(score[top], type=pa.int64()),
+            }
+        )
+
+
+@query("docs_tfidf", _TFIDF_SQL)
+def docs_tfidf(sf_dir: str) -> pa.Table:
+    """Top-{k} terms per document by an integer-exact tf-idf surrogate
+    (tf/df ratio scaled by 1e6; swap in tf*log(N/df) for the textbook float
+    score — ordering parity with the SQL oracle requires the exact integer
+    form). Two passes: (1) corpus document frequencies via the existing
+    per-batch DF combiner + tiny driver merge; (2) broadcast the DF table
+    with ray.put once and rank inside an actor pool — the small-side
+    broadcast join pattern (SURVEY.md §2.5 J1 applied to text stats). At
+    web scale the DF table itself is hash-partitioned and the lookup becomes
+    a co-partitioned join on term; the per-batch kernel is unchanged."""
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import df_partials_batch
+
+    parts = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            df_partials_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = parts.group_by("token").aggregate([("cnt", "sum")])
+    df_map = dict(zip(g["token"].to_pylist(), g["cnt_sum"].to_pylist()))
+    df_ref = ray.put(df_map)
+    out = _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            _TfidfTopK,
+            fn_constructor_kwargs={"df_ref": df_ref},
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return out.sort_by([("doc_id", "ascending"), ("tfidf_scaled", "descending"), ("term", "ascending")])

@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "seq_drift",
     "docs_dup_ngrams",
     "docs_tfidf",
+    "seq_curriculum",
     "docs_quality_filter",
     "events_funnel",
     "docs_decontaminate",

@@ -163,6 +163,10 @@ QUERY_NAMES = [
     "docs_decontaminate",
     "docs_gopher_repetition",
     "events_dedup_window",
+    "seq_drift",
+    "docs_dup_ngrams",
+    "docs_tfidf",
+    "seq_curriculum",
 ]
 
 

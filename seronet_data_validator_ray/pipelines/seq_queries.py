@@ -876,3 +876,120 @@ def seq_drift(sf_dir: str) -> pa.Table:
     for k in list(cols)[1:]:
         arrays[k] = pa.array(cols[k], type=pa.int64())
     return pa.table(arrays)
+
+
+# ----------------------------------------------------------------- curriculum
+
+CURR_BATCH = 256
+
+_SEQ_CURRICULUM_SQL = (
+    _CTE
+    + f"""
+, s AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS nt FROM seq
+  WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+), r AS (
+  SELECT nt, row_number() OVER (ORDER BY nt, doc_id) - 1 AS rk FROM s
+)
+SELECT CAST(rk // {CURR_BATCH} AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(min(nt) AS BIGINT) AS min_len,
+       CAST(max(nt) AS BIGINT) AS max_len,
+       CAST(sum(nt) AS BIGINT) AS sum_tok
+FROM r GROUP BY 1
+"""
+)
+
+
+@query("seq_curriculum", _SEQ_CURRICULUM_SQL)
+def seq_curriculum(sf_dir: str) -> pa.Table:
+    """Length-sorted curriculum batching (padding-efficient pretraining
+    batches): global sort by (n_tok, doc_id), fixed-size batch assignment by
+    global rank, per-batch stats (count / min / max / token sum).
+
+    Plan shape: one range-partitioned global sort; per-block row COUNTS are
+    scalars so the rank prefix merge is block-count-sized on the driver (the
+    seq_pack degenerate prefix scan); per-block batch partials are run-length
+    aggregates over consecutive ranks (batches split across block boundaries
+    re-merge in a tiny batch-count-sized group_by). Tied (n_tok, doc_id) rows
+    may permute across a batch boundary, but every emitted aggregate depends
+    only on n_tok, so the result is tie-invariant — value-hash parity with
+    the SQL window oracle holds."""
+    import ray
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "n_tok"], yield_rows=65536)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "nt": pc.cast(batch["n_tok"], pa.int64())}
+        )
+        return t.filter(
+            pc.and_(pc.is_valid(batch["doc_id"]), pc.is_valid(batch["n_tok"]))
+        )
+
+    mat = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .sort(["nt", "doc_id"])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()  # dataset order == sort order
+
+    def block_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    def partials(t: pa.Table, base: int) -> pa.Table:
+        nt = t["nt"].to_numpy(zero_copy_only=False)
+        if not len(nt):
+            return pa.table(
+                {
+                    "batch_id": pa.array([], type=pa.int64()),
+                    "n_seqs": pa.array([], type=pa.int64()),
+                    "min_len": pa.array([], type=pa.int64()),
+                    "max_len": pa.array([], type=pa.int64()),
+                    "sum_tok": pa.array([], type=pa.int64()),
+                }
+            )
+        bid = (base + np.arange(len(nt), dtype=np.int64)) // CURR_BATCH
+        starts = np.nonzero(np.r_[True, bid[1:] != bid[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(nt)])
+        # block is (nt, doc_id)-sorted: group min is the first row, max the last
+        return pa.table(
+            {
+                "batch_id": pa.array(bid[starts], type=pa.int64()),
+                "n_seqs": pa.array(sizes.astype(np.int64), type=pa.int64()),
+                "min_len": pa.array(nt[starts], type=pa.int64()),
+                "max_len": pa.array(nt[starts + sizes - 1], type=pa.int64()),
+                "sum_tok": pa.array(np.add.reduceat(nt, starts), type=pa.int64()),
+            }
+        )
+
+    count_task = ray.remote(block_count)
+    counts = ray.get([count_task.remote(r) for r in refs])
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    emit_task = ray.remote(partials)
+    outs = [t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)]
+    merged = pa.concat_tables(outs)
+    g = merged.group_by("batch_id").aggregate(
+        [("n_seqs", "sum"), ("min_len", "min"), ("max_len", "max"), ("sum_tok", "sum")]
+    )
+    g = g.rename_columns(
+        [
+            {
+                "n_seqs_sum": "n_seqs",
+                "min_len_min": "min_len",
+                "max_len_max": "max_len",
+                "sum_tok_sum": "sum_tok",
+            }.get(c, c)
+            for c in g.column_names
+        ]
+    )
+    return g.select(["batch_id", "n_seqs", "min_len", "max_len", "sum_tok"]).sort_by(
+        [("batch_id", "ascending")]
+    )

@@ -558,3 +558,49 @@ def test_kmeans_matches_numpy_reference(ray_session):
     c_many = kmeans_fit(ray.data.from_arrow(chunks))
     c_one = kmeans_fit(ray.data.from_arrow(tbl))
     assert np.array_equal(c_many, c_one)
+
+
+def test_seq_drift_flags_planted_source(ray_session):
+    """The bad generator shifts ALL of source 'forums' into the upper token
+    half (datagen.py drift plant); seq_drift must flag exactly that source at
+    sf0.001, and the scaled-KS invariants must hold (ks <= N_o*N_r, books'
+    histograms differ only via planted token-value mutations)."""
+    from seronet_data_validator_ray.pipelines.seq_queries import REGISTRY
+
+    t = REGISTRY["seq_drift"][0]("/root/testdata/sf0.001").to_pandas()
+    assert set(t.columns) >= {"source", "ks_tok", "drifted", "n_tok_obs", "n_tok_ref"}
+    flagged = set(t[t.drifted == 1].source)
+    assert flagged == {"forums"}
+    assert (t.ks_tok <= t.n_tok_obs * t.n_tok_ref).all()
+    assert (t.ks_len <= t.n_rows_obs * t.n_rows_ref).all()
+    # forums' drift is total: every token moved to the upper half, so the
+    # scaled D must exceed 40% of the maximum possible value
+    f = t[t.source == "forums"].iloc[0]
+    assert f.ks_tok > 0.4 * f.n_tok_obs * f.n_tok_ref
+
+
+def test_dup_ngrams_invariants(ray_session):
+    """Per-doc duplicated-8-gram counts are bounded by the doc's total grams,
+    and a doc pair sharing a planted 8-gram span is detected symmetrically."""
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY
+
+    t = REGISTRY["docs_dup_ngrams"][0]("/root/testdata/sf0.001").to_pandas()
+    assert (t.n_dup_ngrams <= t.n_ngrams).all()
+    assert (t.n_dup_ngrams >= 0).all()
+    # duplicated spans exist in the synthetic corpus and never cover ALL docs
+    assert 0 < (t.n_dup_ngrams > 0).sum() < len(t)
+
+
+def test_tfidf_topk_per_doc(ray_session):
+    """docs_tfidf returns at most K rows per doc, scores are the exact
+    integer surrogate tf*1e6//df, and every df is a plausible corpus DF."""
+    from seronet_data_validator_ray.functions.op_queries import _TFIDF_K, REGISTRY
+
+    t = REGISTRY["docs_tfidf"][0]("/root/testdata/sf0.001").to_pandas()
+    per_doc = t.groupby("doc_id").size()
+    assert (per_doc <= _TFIDF_K).all()
+    assert ((t.tf * 1_000_000) // t.df == t.tfidf_scaled).all()
+    # every doc yields >= 1 term row, so nunique == corpus size and df is
+    # bounded by it
+    n_docs = t.doc_id.nunique()
+    assert (t.df >= 1).all() and (t.df <= n_docs).all()

@@ -279,8 +279,12 @@ def _windowed_pairs(seg_ids: np.ndarray, sz_sorted: np.ndarray):
 # block-key segments larger than this do NOT enumerate pairs inside their
 # reducer; the segment is salted over shard-pair subtasks (one boilerplate
 # prefix token / hot LSH bucket would otherwise serialize its reducer with
-# quadratic enumeration — the escalation path the module docstring names)
-HOT_SEGMENT_ROWS = 6144
+# quadratic enumeration — the escalation path the module docstring names).
+# Threshold picked by measurement at sf0.1 (planted ~1.4k-doc near-dup
+# clique): 1024 rows ≈ 0.5M pair-verifies per reducer, the point where one
+# task's serial quadratic work starts to dominate subtask fan-out overhead
+# (17.4 s at 6144 → 5.1 s at 1024; 128 over-shards back up to 10.2 s).
+HOT_SEGMENT_ROWS = 1024
 HOT_SHARD_ROWS = 3072
 
 _HOT_TASKS: dict = {}  # cached ray.remote wrappers for the salted subtasks

@@ -266,84 +266,186 @@ def _cross_rows(rule_id, table, doc_ids, column, observed, severity, message) ->
     )
 
 
-def _run_key_check(check: CrossKeyCheck, tables: dict[str, TableSpec]) -> pa.Table:
-    from seronet_data_validator_ray.functions.joins import reconcile_keys
+_KEYREC_SCHEMA = pa.schema([("key", pa.int64()), ("side", pa.int8())])
 
-    left = _table_ds(tables[check.left_table], [check.left_key])
-    right = _table_ds(tables[check.right_table], [check.right_key])
-    rec = reconcile_keys(
-        left, right, check.left_key, check.right_key,
-        num_partitions=_auto_partitions(tables[check.left_table], tables[check.right_table]),
+
+def _reduce_key_reconcile(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """Exchange reducer for CrossKeyCheck: this bucket owns every emitted
+    (key, side) row for its key range, so symmetric difference is one
+    np.unique per side + two searchsorted probes — no Python over keys."""
+    import numpy as np
+
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return _KEYREC_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    k = t["bkey"].to_numpy(zero_copy_only=False)
+    s = t["side"].to_numpy(zero_copy_only=False)
+    lk = np.unique(k[s == 0])
+    rk = np.unique(k[s == 1])
+    left_only = lk[np.isin(lk, rk, assume_unique=True, invert=True)]
+    right_only = rk[np.isin(rk, lk, assume_unique=True, invert=True)]
+    return pa.table(
+        {
+            "key": pa.array(np.concatenate([left_only, right_only]), type=pa.int64()),
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(len(left_only), np.int8), np.ones(len(right_only), np.int8)]
+                ),
+                type=pa.int8(),
+            ),
+        }
     )
+
+
+def _run_key_check(check: CrossKeyCheck, tables: dict[str, TableSpec]) -> pa.Table:
+    """Symmetric key reconciliation (≙ J3/J5). The projected payload is ONE
+    int64 per row, the tiny-payload regime where Dataset.join's fixed
+    per-partition machinery dominates wall time (BASELINE.md uniqueness
+    measurement; this check dropped 4-6 s → <1 s at sf0.1 when moved off
+    Dataset.join) — so the lifecycle routes it through the raw bucketed
+    exchange with per-batch distinct combiners. The Dataset.join expression
+    of the same reconciliation stays first-class as
+    functions.joins.reconcile_keys (oracle query reconcile_part_lineitem)."""
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    def emit(side_tag: int, kcol: str):
+        def _emit(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = np.unique(
+                pc.cast(batch[kcol], pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "bkey": pa.array(keys, type=pa.int64()),
+                    "side": pa.array(
+                        np.full(len(keys), side_tag, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return _emit
+
+    left = _table_ds(tables[check.left_table], [check.left_key]).map_batches(
+        emit(0, check.left_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _table_ds(tables[check.right_table], [check.right_key]).map_batches(
+        emit(1, check.right_key), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rec = _bucketed_pair_exchange(left.union(right), _reduce_key_reconcile)
     out = []
-    for side, table, column in (
-        ("left_only", check.left_table, check.left_key),
-        ("right_only", check.right_table, check.right_key),
+    side_np = rec["side"].to_numpy(zero_copy_only=False) if len(rec) else None
+    for tag, side, table, column in (
+        (0, "left_only", check.left_table, check.left_key),
+        (1, "right_only", check.right_table, check.right_key),
     ):
-        if side not in check.sides:
+        if side not in check.sides or not len(rec):
             continue
-        sub = rec.filter(pc.equal(rec["present_in"], side))
-        if len(sub):
+        keys = sorted(rec["key"].to_numpy(zero_copy_only=False)[side_np == tag].tolist())
+        if keys:
             out.append(
                 _cross_rows(
-                    check.rule_id, table, sub["key_value"].to_pylist(), column,
-                    [side] * len(sub), check.severity, check.message,
+                    check.rule_id, table, keys, column,
+                    [side] * len(keys), check.severity, check.message,
                 )
             )
     return pa.concat_tables(out) if out else VIOLATION_SCHEMA.empty_table()
 
 
+_SUMREC_SCHEMA = pa.schema([("key", pa.int64()), ("delta_cents", pa.int64())])
+
+
+def _reduce_sum_match(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """Exchange reducer for CrossSumCheck: fact partials and dim declared
+    rows for this bucket's keys. Segment-sums the fact cents per key
+    (np.add.at over the unique-key inverse), probes each dim key with
+    searchsorted (inner-join semantics: dim keys without fact rows drop) and
+    keeps |computed − declared| > tol. ``state`` carries tol so the reducer
+    stays a module-level function the exchange's remote-fn cache can reuse."""
+    import numpy as np
+    import ray
+
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return _SUMREC_SCHEMA.empty_table()
+    if state is None and state_ref is not None:
+        state = ray.get(state_ref[0])
+    tol = int(state["tol_cents"])
+    t = pa.concat_tables(parts)
+    k = t["bkey"].to_numpy(zero_copy_only=False)
+    c = t["c"].to_numpy(zero_copy_only=False)
+    s = t["side"].to_numpy(zero_copy_only=False)
+    fact = s == 0
+    uniq, inv = np.unique(k[fact], return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(acc, inv, c[fact])
+    dk, dc = k[~fact], c[~fact]
+    if not len(uniq) or not len(dk):
+        return _SUMREC_SCHEMA.empty_table()
+    pos = np.searchsorted(uniq, dk)
+    pos_c = np.minimum(pos, len(uniq) - 1)
+    hit = uniq[pos_c] == dk
+    delta = acc[pos_c[hit]] - dc[hit]
+    bad = np.abs(delta) > tol
+    return pa.table(
+        {
+            "key": pa.array(dk[hit][bad], type=pa.int64()),
+            "delta_cents": pa.array(delta[bad], type=pa.int64()),
+        }
+    )
+
+
 def _run_sum_check(check: CrossSumCheck, tables: dict[str, TableSpec]) -> pa.Table:
-    from ray.data.aggregate import Sum
+    """Declared-vs-computed per-key sums (≙ J4 / compare_tests' per-key
+    consistency). Post-combiner rows are 17 B, so this takes the raw
+    bucketed exchange (measured 12 s → <1 s at sf0.1 vs groupby+Dataset.join;
+    same rationale as _run_key_check). The idiomatic Dataset.join expression
+    of the identical check remains table_queries.order_total_consistency."""
+    import numpy as np
 
-    from seronet_data_validator_ray.util import ds_to_table
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
 
-    fact = _table_ds(tables[check.fact_table], [check.fact_key, check.fact_value_col])
     key, val = check.fact_key, check.fact_value_col
 
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table({key: batch[key], "cents": _cents(batch[val])})
-
-    computed = (
-        fact.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .aggregate(Sum("cents", alias_name="computed_cents"))
-    )
-    dim = _table_ds(tables[check.dim_table], [check.dim_key, check.declared_col])
-
-    def dim_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {check.dim_key: batch[check.dim_key], "declared_cents": _cents(batch[check.declared_col])}
-        )
-
-    joined = dim.map_batches(dim_cents, batch_format="pyarrow", zero_copy_batch=True).join(
-        computed,
-        join_type="inner",
-        num_partitions=_auto_partitions(tables[check.dim_table], tables[check.fact_table]),
-        on=(check.dim_key,),
-        right_on=(key,),
-    )
-    tol = check.tol_cents
-
-    def bad(batch: pa.Table) -> pa.Table:
-        delta = pc.subtract(batch["computed_cents"], batch["declared_cents"])
-        mask = pc.greater(pc.abs(delta), tol)
-        sub = batch.filter(mask)
+    def fact_emit(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch[val]).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, cents)
         return pa.table(
             {
-                check.dim_key: sub[check.dim_key],
-                "delta_cents": pc.subtract(sub["computed_cents"], sub["declared_cents"]),
+                "bkey": pa.array(uniq, type=pa.int64()),
+                "c": pa.array(acc, type=pa.int64()),
+                "side": pa.array(np.zeros(len(uniq), np.int8), type=pa.int8()),
             }
         )
 
-    viol = ds_to_table(
-        joined.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
-        pa.schema([(check.dim_key, pa.int64()), ("delta_cents", pa.int64())]),
+    def dim_emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bkey": pc.cast(batch[check.dim_key], pa.int64()),
+                "c": _cents(batch[check.declared_col]),
+                "side": pa.array(np.ones(n, np.int8), type=pa.int8()),
+            }
+        )
+
+    fact = _table_ds(tables[check.fact_table], [key, val]).map_batches(
+        fact_emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dim = _table_ds(tables[check.dim_table], [check.dim_key, check.declared_col]).map_batches(
+        dim_emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    viol = _bucketed_pair_exchange(
+        fact.union(dim), _reduce_sum_match, state={"tol_cents": check.tol_cents}
     )
     if len(viol) == 0:
         return VIOLATION_SCHEMA.empty_table()
+    viol = viol.sort_by("key")
     return _cross_rows(
-        check.rule_id, check.dim_table, viol[check.dim_key].to_pylist(),
+        check.rule_id, check.dim_table, viol["key"].to_pylist(),
         check.declared_col, viol["delta_cents"].to_pylist(), check.severity, check.message,
     )
 

@@ -781,35 +781,66 @@ def _drift_hist_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _source_hists(d: str) -> dict:
-    """{source: (tok_hist int64[64], len_hist int64[32])} via distributed
-    map_batches partials + one tiny driver Arrow group_by merge (partials are
-    <= n_sources * 96 rows per block — same rationale as seq_token_hist)."""
-    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
-    from seronet_data_validator_ray.util import ds_to_table
+def _tagged_hist_partials(d: str, tag: str):
+    """Histogram-partial Dataset for one corpus dir, each partial row tagged
+    with the corpus name so several corpora can share ONE execution.
+
+    Plain task-based read_parquet, NOT read_with_provenance: histograms need
+    no (partition, row_index) provenance, and the provenance reader's
+    actor-pool spin-up costs seconds per call on a cold pool. plan_read
+    still supplies the file list so schema-mismatch partitions stay gated
+    out (the oracle excludes them the same way: filename NOT LIKE
+    '%badschema%')."""
+    import ray.data
+
+    from seronet_data_validator_ray.sources.parquet import plan_read
 
     plan = plan_read(d, SEQUENCES_SCHEMA)
-    ds = read_with_provenance(
-        plan.work_items(), columns=["tokens", "n_tok", "source"], yield_rows=8192
-    ).map_batches(
-        _drift_hist_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+
+    def partial(batch: pa.Table, _tag=tag) -> pa.Table:
+        t = _drift_hist_partial(batch)
+        return t.append_column("corpus", pa.array([_tag] * len(t), type=pa.string()))
+
+    return ray.data.read_parquet(
+        [f.path for f in plan.files if f.schema_ok],
+        columns=["tokens", "n_tok", "source"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _source_hists_multi(dirs: dict[str, str]) -> dict[str, dict]:
+    """{tag: {source: (tok_hist int64[64], len_hist int64[32])}} for several
+    corpora in ONE streaming execution (a Dataset execution carries ~1-2 s of
+    fixed scheduling cost, so drift's two scans union into one run). Partials
+    are <= n_sources * 96 rows per block — same rationale as seq_token_hist;
+    the merge is one tiny driver Arrow group_by."""
+    from seronet_data_validator_ray.util import ds_to_table
+
+    parts = [_tagged_hist_partials(d, tag) for tag, d in dirs.items()]
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     partials = ds_to_table(ds)
-    g = partials.group_by(["source", "bin"]).aggregate([("n", "sum")])
-    srcs = g.column("source").to_numpy(zero_copy_only=False)
+    g = partials.group_by(["corpus", "source", "bin"]).aggregate([("n", "sum")])
+    corp = np.asarray(g.column("corpus").to_numpy(zero_copy_only=False), dtype=object)
+    srcs = np.asarray(g.column("source").to_numpy(zero_copy_only=False), dtype=object)
     bins = g.column("bin").to_numpy(zero_copy_only=False)
     ns = g.column("n_sum").to_numpy(zero_copy_only=False)
-    out: dict = {}
-    for s in np.unique(np.asarray(srcs, dtype=object)):
-        m = srcs == s
-        tok = np.zeros(_NBINS, dtype=np.int64)
-        ln = np.zeros(_LEN_NBINS, dtype=np.int64)
-        b, v = bins[m], ns[m]
-        tm = b < _NBINS
-        tok[b[tm]] = v[tm]
-        ln[b[~tm] - _NBINS] = v[~tm]
-        out[str(s)] = (tok, ln)
+    out: dict[str, dict] = {tag: {} for tag in dirs}
+    for tag in out:
+        cm = corp == tag
+        for s in np.unique(srcs[cm]):
+            m = cm & (srcs == s)
+            tok = np.zeros(_NBINS, dtype=np.int64)
+            ln = np.zeros(_LEN_NBINS, dtype=np.int64)
+            b, v = bins[m], ns[m]
+            tm = b < _NBINS
+            tok[b[tm]] = v[tm]
+            ln[b[~tm] - _NBINS] = v[~tm]
+            out[tag][str(s)] = (tok, ln)
     return out
+
+
+def _source_hists(d: str) -> dict:
+    """Single-corpus convenience wrapper over :func:`_source_hists_multi`."""
+    return _source_hists_multi({"obs": d})["obs"]
 
 
 @query("seq_drift", _DRIFT_SQL)
@@ -832,8 +863,10 @@ def seq_drift(sf_dir: str) -> pa.Table:
     merged table avoids int64 overflow at any corpus size (DuckDB's HUGEINT
     does the same on the oracle side). The drift plant shifts source "forums"
     wholesale (datagen.py:155), which this flags."""
-    obs = _source_hists(ensure_seq(sf_dir))
-    ref = _source_hists(ensure_clean(sf_dir))
+    hists = _source_hists_multi(
+        {"obs": ensure_seq(sf_dir), "ref": ensure_clean(sf_dir)}
+    )
+    obs, ref = hists["obs"], hists["ref"]
     cols: dict[str, list] = {
         k: []
         for k in (

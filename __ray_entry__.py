@@ -79,6 +79,10 @@ def entry() -> Any:
 # oracle-parity test, tests/test_queries_oracle.py).
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
+    "docs_chunk",
+    "docs_dedup_incremental",
+    "events_minmax_scale",
+    "events_retention",
     "seq_drift",
     "docs_dup_ngrams",
     "docs_tfidf",
@@ -111,6 +115,7 @@ _VERIFY_LAST = [
     # rows-only ops: exact-counterpart cross-checks live in tests/ (the
     # external gate would record only a weak rows-count row for these)
     "embedding_kmeans",
+    "embedding_pca",
     "cosine_near_dup_ivf",
     "ann_ivf",
     "doc_fingerprint",

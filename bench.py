@@ -167,6 +167,11 @@ QUERY_NAMES = [
     "docs_dup_ngrams",
     "docs_tfidf",
     "seq_curriculum",
+    "docs_chunk",
+    "docs_dedup_incremental",
+    "events_minmax_scale",
+    "events_retention",
+    "embedding_pca",
 ]
 
 

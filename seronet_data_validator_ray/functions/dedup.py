@@ -508,6 +508,7 @@ def _bucketed_pair_exchange(
     p_bits: int | None = None,
     state: dict | None = None,
     hot_rows: int | None = None,
+    distinct_output: bool = True,
 ) -> pa.Table:
     """Candidate generation WITHOUT Ray Data's groupby: the emitted rows are
     16-24 B each, exactly the tiny-payload shape where the Dataset aggregate's
@@ -551,8 +552,11 @@ def _bucketed_pair_exchange(
     if not tables:
         return reduce_fn(state=state)
     # cross-bucket duplicate pairs (a pair can share block keys routed to
-    # different reducers) collapse driver-side — near-dup-output-sized
-    return _distinct(pa.concat_tables(tables))
+    # different reducers) collapse driver-side — near-dup-output-sized.
+    # Reducers emitting aggregates (where two buckets can legitimately
+    # produce identical rows) pass distinct_output=False.
+    out = pa.concat_tables(tables)
+    return _distinct(out) if distinct_output else out
 
 
 # ------------------------------------------------------------- exact verify pass

@@ -1007,3 +1007,286 @@ def docs_tfidf(sf_dir: str) -> pa.Table:
         )
     )
     return out.sort_by([("doc_id", "ascending"), ("tfidf_scaled", "descending"), ("term", "ascending")])
+
+
+# ------------------------------------------------------------------ chunking
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+_DOCS_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, greatest(len(ws) - 1, 0), {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least(start + {CHUNK_WORDS}, len(ws)) - start AS BIGINT) AS n_words,
+       array_to_string(ws[start + 1 : least(start + {CHUNK_WORDS}, len(ws))], ' ') AS chunk_text
+FROM s
+"""
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Overlapping word-window chunking (RAG / context-window prep): each doc
+    expands to ceil(n_words / stride) chunks of up to CHUNK_WORDS words.
+    Fully vectorized flat_map: one split per batch, chunk word-ranges
+    gathered from the flat word buffer with a repeat/arange index, texts
+    rebuilt with pc.binary_join — no Python over rows or chunks."""
+    import numpy as np
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.diff(offs)
+    n_chunks = (np.maximum(nw, 1) - 1) // CHUNK_STRIDE + 1
+    total = int(n_chunks.sum())
+    doc_idx = np.repeat(np.arange(len(nw), dtype=np.int64), n_chunks)
+    base = np.zeros(len(nw), dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=base[1:])
+    k = np.arange(total, dtype=np.int64) - base[doc_idx]
+    start = k * CHUNK_STRIDE
+    end = np.minimum(start + CHUNK_WORDS, nw[doc_idx])
+    counts = end - start
+    excl = np.zeros(total, dtype=np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    flat_idx = (
+        np.arange(int(counts.sum()), dtype=np.int64)
+        - np.repeat(excl, counts)
+        + np.repeat(offs[:-1][doc_idx] + start, counts)
+    )
+    taken = words.values.take(pa.array(flat_idx, type=pa.int64()))
+    new_offs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_offs[1:])
+    chunk_lists = pa.LargeListArray.from_arrays(
+        pa.array(new_offs, type=pa.int64()), taken
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(doc_idx, type=pa.int64())),
+            "chunk_id": pa.array(k, type=pa.int64()),
+            "n_words": pa.array(counts, type=pa.int64()),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+        }
+    )
+
+
+@query("docs_chunk", _DOCS_CHUNK_SQL)
+def docs_chunk(sf_dir: str) -> pa.Table:
+    """Document chunking for training/RAG: overlapping word windows
+    (64 words, stride 48) as a streaming flat-map expansion — value-exact
+    against the DuckDB list-slicing oracle, including the rebuilt chunk
+    text. No shuffle; output is ~1.33x the input words."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(chunk_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+# ------------------------------------------------------- incremental dedup
+
+_DEDUP_INCR_SQL = """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents p WHERE p.doc_id % 3 = 0 AND p.text = d.text
+  )
+"""
+
+
+def _text_hash_batch(texts) -> "np.ndarray":
+    """uint64 blake2b per text value (one digest per distinct value in the
+    batch dictionary — repeated payloads hash once)."""
+    import hashlib
+
+    import numpy as np
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    enc = pc.dictionary_encode(arr)
+    dict_strs = enc.dictionary.to_pylist()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = np.frombuffer(
+        b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in dict_strs)
+        or b"",
+        dtype=np.uint64,
+    )
+    return h[idx] if len(dict_strs) else np.zeros(0, dtype=np.uint64)
+
+
+@query("docs_dedup_incremental", _DEDUP_INCR_SQL)
+def docs_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Incremental exact dedup of a NEW shard against a PRIOR corpus (the
+    already-ingested set, stood in by doc_id % 3 == 0): keep new docs whose
+    exact text never appeared before. Plan (holds when the prior corpus is
+    billions of docs): both sides emit 16 B (text-hash, doc_id, side) rows —
+    the text itself never crosses the exchange — ONE hash-bucketed exchange
+    finds hash matches, and only those candidates are text-verified via a
+    second pruned scan (hash equality alone would be 2^-64-approximate, not
+    exact). Output = new doc_ids that survive."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    def emit(batch: pa.Table) -> pa.Table:
+        h = _text_hash_batch(batch["text"]).view(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkey": pa.array(h, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "side": pa.array((ids % 3 != 0).astype(np.int8), type=pa.int8()),
+            }
+        )
+
+    def reduce_matches(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("bkey", pa.int64())])
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        h = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        prior_h = np.unique(h[side == 0])
+        new_mask = side == 1
+        cand = np.isin(h[new_mask], prior_h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[new_mask][cand], type=pa.int64()),
+                "bkey": pa.array(h[new_mask][cand], type=pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = _bucketed_pair_exchange(
+        docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_matches,
+    )
+
+    dropped: set[int] = set()
+    if len(cand):
+        # exact verify at candidates only: re-scan pruned to rows whose text
+        # hash is a candidate hash, compare actual texts driver-side (the
+        # candidate set is near-dup-sized, not corpus-sized)
+        cand_h = np.unique(cand["bkey"].to_numpy(zero_copy_only=False))
+        cand_ref = ray.put(cand_h)
+
+        def prune(batch: pa.Table, ref=cand_ref) -> pa.Table:
+            hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            h = _text_hash_batch(batch["text"]).view(np.int64)
+            pos = np.searchsorted(hs, h)
+            pos_c = np.minimum(pos, len(hs) - 1)
+            m = hs[pos_c] == h
+            sub = batch.filter(pa.array(m))
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "text": sub["text"],
+                    "h": pa.array(h[m], type=pa.int64()),
+                }
+            )
+
+        matched = _collect(
+            docs.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        ids = matched["doc_id"].to_numpy(zero_copy_only=False)
+        texts = matched["text"].to_pylist()
+        prior_texts = {t for i, t in zip(ids, texts) if i % 3 == 0}
+        dropped = {int(i) for i, t in zip(ids, texts) if i % 3 != 0 and t in prior_texts}
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 3 != 0
+        if dropped:
+            m &= ~np.isin(ids, np.fromiter(dropped, dtype=np.int64))
+        return pa.table({"doc_id": pa.array(ids[m], type=pa.int64())})
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            keep_new, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by("doc_id")
+
+
+# ------------------------------------------------------------------ PCA
+
+PCA_K = 8
+
+
+def _embed_matrix(col) -> "np.ndarray":
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def pca_moment_partials(batch: pa.Table) -> pa.Table:
+    """One (count, sum, X^T X) row per batch — the associative second-moment
+    combiner of distributed PCA. D=64 makes the partial 33 KB regardless of
+    batch size, so the merge input is blocks-sized, never corpus-sized."""
+    import numpy as np
+
+    X = _embed_matrix(batch["embedding"])
+    return pa.table(
+        {
+            "n": pa.array([X.shape[0]], type=pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+            "xtx": pa.array([(X.T @ X).ravel().tolist()], type=pa.list_(pa.float64())),
+        }
+    )
+
+
+@query("embedding_pca", None)
+def embedding_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA over the embedding column (dimensionality reduction /
+    whitening prep): pass 1 reduces every batch to a 33 KB second-moment
+    partial (count, sum, X^T X) merged on the driver — the classic
+    one-pass covariance plan, exact up to float summation order — then the
+    DxD eigendecomposition runs once on the driver (D=64; D never scales
+    with corpus size) and pass 2 streams the table again projecting onto the
+    top-8 components (broadcast mu + loadings). Deterministic sign: each
+    component's max-|w| coordinate is made positive. Rows-only query; exact
+    numpy parity + block-structure invariance in tests/test_training_ops.py."""
+    import numpy as np
+    import ray
+
+    parts = _collect(
+        _read(sf_dir, "embeddings", columns=["embedding"]).map_batches(
+            pca_moment_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    n = int(pc.sum(parts["n"]).as_py())
+    D = len(parts["s"][0])
+    S = np.add.reduce([np.asarray(v, dtype=np.float64) for v in parts["s"].to_pylist()])
+    XTX = np.add.reduce(
+        [np.asarray(v, dtype=np.float64) for v in parts["xtx"].to_pylist()]
+    ).reshape(D, D)
+    mu = S / n
+    cov = (XTX - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :PCA_K]  # top-K, descending eigenvalue
+    sign = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(PCA_K)])
+    sign[sign == 0] = 1.0
+    comps = comps * sign
+    state_ref = ray.put({"mu": mu, "comps": comps})
+
+    def project(batch: pa.Table, ref=state_ref) -> pa.Table:
+        st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        X = _embed_matrix(batch["embedding"])
+        P = (X - st["mu"]) @ st["comps"]
+        cols = {"vec_id": batch["vec_id"]}
+        for k in range(PCA_K):
+            cols[f"pc{k + 1}"] = pa.array(P[:, k], type=pa.float64())
+        return pa.table(cols)
+
+    return _collect(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by("vec_id")

@@ -1379,3 +1379,186 @@ def events_band_join(sf_dir: str) -> pa.Table:
     # ordering is not contractual across versions
     g = g.rename_columns([{"dt_us_min": "dt_us"}.get(c, c) for c in g.column_names])
     return g.select(["event_id_a", "event_id_b", "dt_us"])
+
+
+# ------------------------------------------------------------ feature scaling
+
+_MINMAX_SCALE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_id, event_type, cents,
+         MIN(cents) OVER (PARTITION BY event_type) AS lo,
+         MAX(cents) OVER (PARTITION BY event_type) AS hi
+  FROM c
+)
+SELECT event_id, event_type,
+       ((cents - lo) * 10000) // greatest(hi - lo, 1) AS scaled_bp
+FROM b
+"""
+
+
+@query("events_minmax_scale", _MINMAX_SCALE_SQL)
+def events_minmax_scale(sf_dir: str) -> pa.Table:
+    """Per-group min-max feature normalization (training-prep numeric
+    scaling) as a two-phase broadcast plan: pass 1 reduces each batch to one
+    (type, min, max) row — a few rows per block, merged on the driver with
+    one Arrow group_by (no shuffle) — pass 2 re-streams the table and emits
+    the scaled value from the broadcast bounds. Integer-exact: cents in,
+    floor-divided basis points out, so the DuckDB window-function oracle
+    hash-matches bit-for-bit. At 100 TB both passes stay embarrassingly
+    parallel; the broadcast state is one row per event_type."""
+    import numpy as np
+    import ray
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        lo = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, cents)
+        np.maximum.at(hi, inv, cents)
+        return pa.table(
+            {
+                "event_type": pa.array([str(u) for u in uniq], type=pa.string()),
+                "lo": pa.array(lo, type=pa.int64()),
+                "hi": pa.array(hi, type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            bounds, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = partials.group_by("event_type").aggregate([("lo", "min"), ("hi", "max")])
+    types = [str(t) for t in g["event_type"].to_pylist()]
+    lo_of = dict(zip(types, g["lo_min"].to_pylist()))
+    hi_of = dict(zip(types, g["hi_max"].to_pylist()))
+    bounds_ref = ray.put((lo_of, hi_of))
+
+    def scale(batch: pa.Table, ref=bounds_ref) -> pa.Table:
+        lo_of, hi_of = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        lo = np.array([lo_of[str(u)] for u in uniq], dtype=np.int64)[inv]
+        hi = np.array([hi_of[str(u)] for u in uniq], dtype=np.int64)[inv]
+        span = np.maximum(hi - lo, 1)
+        return pa.table(
+            {
+                "event_id": sub["event_id"],
+                "event_type": sub["event_type"],
+                "scaled_bp": pa.array((cents - lo) * 10000 // span, type=pa.int64()),
+            }
+        )
+
+    return _ds_table(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]).map_batches(
+            scale, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+# ------------------------------------------------------------ cohort retention
+
+_RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention", _RETENTION_SQL)
+def events_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention (cohort = each user's first active day; one row per
+    (cohort_day, day_offset) with the distinct-user count) — the classic
+    two-level holistic aggregate. Plan: per-batch DISTINCT (user, day)
+    combiners (tiny int64 pairs) → ONE user-hash bucketed exchange so each
+    reducer owns every day of its users → per-user vectorized min + offset
+    emit, pre-counted per reducer → final merge is one driver Arrow group_by
+    over (cohorts × offsets)-sized partials. Same skew posture as
+    distinct_users_per_type: a hot user's rows land on one reducer but are
+    only day-cardinality wide."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    DAY_US = 86_400_000_000
+
+    def emit(batch: pa.Table) -> pa.Table:
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            // DAY_US
+        )
+        pair = np.unique(np.stack([user, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "bkey": pa.array(pair[:, 0], type=pa.int64()),
+                "day": pa.array(pair[:, 1], type=pa.int64()),
+            }
+        )
+
+    def reduce_retention(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema(
+            [("cohort", pa.int64()), ("day_offset", pa.int64()), ("n_users", pa.int64())]
+        )
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        user = t["bkey"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        # distinct (user, day) across this bucket's combiner rows
+        order = np.lexsort((day, user))
+        u_s, d_s = user[order], day[order]
+        keep = np.ones(len(u_s), dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        new_u = np.ones(len(u_s), dtype=bool)
+        new_u[1:] = u_s[1:] != u_s[:-1]
+        starts = np.nonzero(new_u)[0]
+        seg = np.cumsum(new_u) - 1
+        cohort = d_s[starts][seg]  # per-user min day (day-sorted within user)
+        offset = d_s - cohort
+        key = np.stack([cohort, offset], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort": pa.array(uniq[:, 0], type=pa.int64()),
+                "day_offset": pa.array(uniq[:, 1], type=pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_retention,
+        distinct_output=False,  # two buckets can emit identical partial rows
+    )
+    g = partials.group_by(["cohort", "day_offset"]).aggregate([("n_users", "sum")])
+    # 'YYYY-MM-DD' strings rather than date32: date columns round-trip
+    # inconsistently through pandas on the two compare sides
+    days = g["cohort"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(str)
+    return pa.table(
+        {
+            "cohort_day": pa.array(days, type=pa.string()),
+            "day_offset": g["day_offset"],
+            "n_users": g["n_users_sum"],
+        }
+    ).sort_by([("cohort_day", "ascending"), ("day_offset", "ascending")])

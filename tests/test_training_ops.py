@@ -604,3 +604,65 @@ def test_tfidf_topk_per_doc(ray_session):
     # bounded by it
     n_docs = t.doc_id.nunique()
     assert (t.df >= 1).all() and (t.df <= n_docs).all()
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed second-moment PCA equals single-shot numpy PCA on the
+    same rows (sign-fixed loadings), and the projection is orthonormal."""
+    from seronet_data_validator_ray.functions.op_queries import PCA_K, REGISTRY
+
+    r = REGISTRY["embedding_pca"][0](SF)
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    X = np.asarray(
+        t["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    ).reshape(t.num_rows, -1)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :PCA_K]
+    sign = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(PCA_K)])
+    sign[sign == 0] = 1.0
+    comps = comps * sign
+    expect = (X - mu) @ comps
+    order = np.argsort(t["vec_id"].to_numpy())
+    mine = np.column_stack([r[f"pc{k + 1}"].to_numpy() for k in range(PCA_K)])
+    assert np.abs(mine - expect[order]).max() < 1e-9
+    assert np.abs(comps.T @ comps - np.eye(PCA_K)).max() < 1e-12
+
+
+def test_chunk_covers_every_word(ray_session):
+    """Every word index of every doc is covered by >= 1 chunk; consecutive
+    chunks overlap by CHUNK_WORDS - CHUNK_STRIDE words (except the tail)."""
+    from seronet_data_validator_ray.functions.op_queries import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        REGISTRY,
+    )
+
+    t = REGISTRY["docs_chunk"][0]("/root/testdata/sf0.001").to_pandas()
+    docs = pq.read_table(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    nw = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    for doc_id, g in t.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        starts = g.chunk_id.to_numpy() * CHUNK_STRIDE
+        ends = starts + g.n_words.to_numpy()
+        assert ends.max() == nw[doc_id]  # covers the last word exactly
+        assert (starts[1:] < ends[:-1]).all() or len(g) == 1  # overlap
+        assert (g.n_words <= CHUNK_WORDS).all()
+
+
+def test_retention_first_offset_is_cohort_size(ray_session):
+    """day_offset 0 of each cohort counts exactly that cohort's users, and
+    no (cohort, offset) cell exceeds its cohort size."""
+    from seronet_data_validator_ray.pipelines.table_queries import REGISTRY
+
+    t = REGISTRY["events_retention"][0](SF).to_pandas()
+    day0 = t[t.day_offset == 0].set_index("cohort_day").n_users
+    for cohort, g in t.groupby("cohort_day"):
+        assert (g.n_users <= day0[cohort]).all()
+    ev = pq.read_table(os.path.join(SF, "events.parquet"), columns=["user_id"])
+    assert day0.sum() == len(np.unique(ev["user_id"].to_numpy()))

@@ -80,6 +80,8 @@ def entry() -> Any:
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "docs_chunk",
+    "docs_inverted_index",
+    "docs_lm_score",
     "docs_dedup_incremental",
     "events_minmax_scale",
     "events_retention",

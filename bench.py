@@ -168,6 +168,8 @@ QUERY_NAMES = [
     "docs_tfidf",
     "seq_curriculum",
     "docs_chunk",
+    "docs_inverted_index",
+    "docs_lm_score",
     "docs_dedup_incremental",
     "events_minmax_scale",
     "events_retention",

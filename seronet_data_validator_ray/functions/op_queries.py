@@ -1290,3 +1290,198 @@ def embedding_pca(sf_dir: str) -> pa.Table:
             project, batch_format="pyarrow", zero_copy_batch=True
         )
     ).sort_by("vec_id")
+
+
+# --------------------------------------------------------------- inverted index
+
+_INVERTED_INDEX_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), d AS (
+  SELECT DISTINCT doc_id, term FROM w
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+FROM d GROUP BY term
+"""
+
+
+@query("docs_inverted_index", _INVERTED_INDEX_SQL)
+def docs_inverted_index(sf_dir: str) -> pa.Table:
+    """Full-corpus inverted index (term → sorted posting list): the search /
+    retrieval build. Map side emits distinct (term-hash, term, doc_id) rows
+    per batch; ONE term-hash bucketed exchange gives each reducer every
+    posting of its terms, which it dedupes and assembles with a lexsort +
+    ListArray/binary_join — no Python over terms or postings anywhere.
+    Postings serialize as a comma-joined string (keeps the compare/oracle
+    surface scalar). Each (term, doc) pair crosses the exchange exactly
+    once — the information-theoretic minimum for index construction."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import (
+        _bucketed_pair_exchange,
+        _hash_dictionary,
+        _per_row_unique,
+        _split_tokens,
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs:
+            return pa.table(
+                {
+                    "bkey": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        rows_u, tokid_u = _per_row_unique(lengths, tok_ids)
+        h = _hash_dictionary(dict_strs).view(np.int64)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms = pa.array(np.asarray(dict_strs, dtype=object), type=pa.string())
+        return pa.table(
+            {
+                "bkey": pa.array(h[tokid_u], type=pa.int64()),
+                "term": terms.take(pa.array(tokid_u, type=pa.int64())),
+                "doc_id": pa.array(docs[rows_u], type=pa.int64()),
+            }
+        )
+
+    def reduce_postings(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema(
+            [("term", pa.string()), ("df", pa.int64()), ("postings", pa.string())]
+        )
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        term = t["term"].dictionary_encode()
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        tid = term.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # dictionary ids are batch-local, not sorted: order by (term string
+        # rank, doc) via the dictionary's own argsort
+        dict_order = np.argsort(
+            np.asarray(term.dictionary.to_pylist(), dtype=object), kind="stable"
+        )
+        rank = np.empty(len(dict_order), dtype=np.int64)
+        rank[dict_order] = np.arange(len(dict_order))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, rank[tid]))
+        r_s, d_s = rank[tid][order], doc[order]
+        keep = np.ones(len(r_s), dtype=bool)
+        keep[1:] = (r_s[1:] != r_s[:-1]) | (d_s[1:] != d_s[:-1])
+        r_s, d_s = r_s[keep], d_s[keep]
+        new_t = np.ones(len(r_s), dtype=bool)
+        new_t[1:] = r_s[1:] != r_s[:-1]
+        starts = np.nonzero(new_t)[0]
+        df = np.diff(np.append(starts, len(r_s)))
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(df, out=offs[1:])
+        posting_lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            pc.cast(pa.array(d_s, type=pa.int64()), pa.string()),
+        )
+        terms_sorted = term.dictionary.take(
+            pa.array(dict_order[r_s[starts]], type=pa.int64())
+        )
+        return pa.table(
+            {
+                "term": terms_sorted,
+                "df": pa.array(df, type=pa.int64()),
+                "postings": pc.binary_join(posting_lists, ","),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = _bucketed_pair_exchange(
+        docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_postings,
+        distinct_output=False,  # terms are bucket-partitioned; rows disjoint
+    )
+    return out.sort_by("term")
+
+
+# ------------------------------------------------------------- unigram LM score
+
+_LM_SCORE_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term
+), tot AS (
+  SELECT SUM(cnt) AS n FROM f
+)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST((1000000 * SUM(f.cnt)) // (COUNT(*) * (SELECT n FROM tot)) AS BIGINT)
+         AS mean_freq_ppm
+FROM w JOIN f USING (term)
+GROUP BY w.doc_id
+"""
+
+
+@query("docs_lm_score", _LM_SCORE_SQL)
+def docs_lm_score(sf_dir: str) -> pa.Table:
+    """Unigram-LM data-quality scoring (the corpus-frequency surrogate of
+    perplexity filtering): per doc, the mean corpus frequency of its token
+    occurrences in exact integer ppm — rare-token-heavy docs score low,
+    boilerplate scores high. Pass 1 reduces term occurrence counts via
+    per-batch combiners + one tiny driver merge (vocabulary-sized, the
+    broadcast-small side); pass 2 broadcasts the frequency table once
+    (ray.put) and re-streams the corpus, scoring each batch with a
+    dictionary lookup + bincount — no shuffle anywhere."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    def occ_partials(batch: pa.Table) -> pa.Table:
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+            )
+        cnt = np.bincount(tok_ids, minlength=len(dict_strs)).astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(dict_strs, dtype=object), type=pa.string()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            occ_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = parts.group_by("token").aggregate([("cnt", "sum")])
+    freq_map = dict(zip(g["token"].to_pylist(), g["cnt_sum"].to_pylist()))
+    total = sum(freq_map.values())
+    freq_ref = ray.put(freq_map)
+
+    def score(batch: pa.Table, ref=freq_ref, total=total) -> pa.Table:
+        fm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        cnt_of = np.fromiter((fm[t] for t in dict_strs), dtype=np.int64, count=len(dict_strs))
+        occ_cnt = cnt_of[tok_ids]
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        s = np.bincount(rows, weights=occ_cnt.astype(np.float64), minlength=len(lengths))
+        # exact integer ppm: the float64 bincount is exact below 2^53 and the
+        # division is pure int64. 1e6*s needs 128-bit only past ~10^13-token
+        # corpora — rescale the frequency table (cnt per 2^k tokens) there.
+        s = s.astype(np.int64)
+        nw = lengths.astype(np.int64)
+        ppm = (1_000_000 * s) // (np.maximum(nw, 1) * total)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, type=pa.int64()),
+                "mean_freq_ppm": pa.array(ppm, type=pa.int64()),
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).sort_by("doc_id")

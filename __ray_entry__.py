@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "docs_chunk",
     "docs_inverted_index",
     "docs_lm_score",
+    "docs_heavy_hitters",
     "docs_dedup_incremental",
     "events_minmax_scale",
     "events_retention",

@@ -1485,3 +1485,112 @@ def docs_lm_score(sf_dir: str) -> pa.Table:
             score, batch_format="pyarrow", zero_copy_batch=True
         )
     ).sort_by("doc_id")
+
+
+# ------------------------------------------------------------- heavy hitters
+
+HH_K = 20  # result size
+HH_CAPACITY = 256  # Misra-Gries counters per partial; guarantees f > N/(C+1)
+
+_HEAVY_HITTERS_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term
+)
+SELECT term, cnt FROM f ORDER BY cnt DESC, term LIMIT {HH_K}
+"""
+
+
+def mg_partial(tokens: "np.ndarray", counts: "np.ndarray", capacity: int):
+    """Misra-Gries compression of a (token, count) frequency vector to at
+    most ``capacity`` counters: subtract the (capacity+1)-th largest count
+    from all and keep the positive ones. Mergeable: summing two compressed
+    vectors then re-compressing preserves the deterministic guarantee that
+    any item with true frequency > N/(capacity+1) survives with a count
+    underestimated by at most N/(capacity+1)."""
+    import numpy as np
+
+    if len(tokens) <= capacity:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1]
+    adj = counts - kth
+    keep = adj > 0
+    return tokens[keep], adj[keep]
+
+
+@query("docs_heavy_hitters", _HEAVY_HITTERS_SQL)
+def docs_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact top-K most frequent terms via a two-pass sketch plan that never
+    shuffles: pass 1 compresses each batch's term counts to a 256-counter
+    Misra-Gries partial (mergeable; driver merge + re-compress), which
+    GUARANTEES every term with frequency > N/257 is among the candidates;
+    pass 2 broadcasts the candidate set and counts it exactly, so the final
+    top-20 (cnt DESC, term ASC) is exact and carries a SQL oracle. The
+    candidate set is capacity-bounded, never vocabulary-bounded — at 100 TB
+    the driver state stays 256 counters regardless of corpus vocab."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+            )
+        cnt = np.bincount(tok_ids, minlength=len(dict_strs)).astype(np.int64)
+        toks = np.asarray(dict_strs, dtype=object)
+        toks, cnt = mg_partial(toks, cnt, HH_CAPACITY)
+        return pa.table(
+            {
+                "term": pa.array(toks, type=pa.string()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    parts = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = parts.group_by("term").aggregate([("cnt", "sum")])
+    toks = np.asarray(g["term"].to_pylist(), dtype=object)
+    cnts = g["cnt_sum"].to_numpy(zero_copy_only=False)
+    cand, _ = mg_partial(toks, cnts, HH_CAPACITY)
+    cand_set = set(cand.tolist())
+    cand_ref = ray.put(cand_set)
+
+    def exact_counts(batch: pa.Table, ref=cand_ref) -> pa.Table:
+        cs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        _lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        if not dict_strs:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+            )
+        cnt = np.bincount(tok_ids, minlength=len(dict_strs)).astype(np.int64)
+        keep = np.fromiter((t in cs for t in dict_strs), dtype=bool, count=len(dict_strs))
+        toks = np.asarray(dict_strs, dtype=object)[keep]
+        return pa.table(
+            {
+                "term": pa.array(toks, type=pa.string()),
+                "cnt": pa.array(cnt[keep], type=pa.int64()),
+            }
+        )
+
+    exact = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            exact_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    eg = exact.group_by("term").aggregate([("cnt", "sum")])
+    et = np.asarray(eg["term"].to_pylist(), dtype=object)
+    ec = eg["cnt_sum"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((et, -ec))[:HH_K]
+    return pa.table(
+        {
+            "term": pa.array(et[order], type=pa.string()),
+            "cnt": pa.array(ec[order], type=pa.int64()),
+        }
+    )

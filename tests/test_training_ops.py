@@ -699,3 +699,35 @@ def test_lm_score_bounds_and_direction(ray_session):
     assert (t.mean_freq_ppm >= 0).all() and (t.mean_freq_ppm <= 1_000_000).all()
     assert t.n_words.min() >= 1
     assert t.mean_freq_ppm.nunique() > 1  # the score actually separates docs
+
+
+def test_misra_gries_guarantee_on_adversarial_stream():
+    """mg_partial keeps every item whose true frequency exceeds N/(C+1)
+    under repeated compress-merge-compress cycles, on a stream whose
+    vocabulary (10k) far exceeds the capacity (64)."""
+    from seronet_data_validator_ray.functions.op_queries import mg_partial
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"t{i}" for i in range(10_000)], dtype=object)
+    # zipf-ish: a few heavy items + a long uniform tail
+    heavy = rng.choice(50, size=20_000) + 0  # ids 0..49, ~400 each
+    tail = rng.choice(10_000, size=20_000)  # ~2 each
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    C = 64
+    merged_t = np.array([], dtype=object)
+    merged_c = np.array([], dtype=np.int64)
+    for block in np.array_split(stream, 16):  # simulate per-batch partials
+        ids, cnt = np.unique(block, return_counts=True)
+        t, c = mg_partial(vocab[ids], cnt.astype(np.int64), C)
+        both_t = np.concatenate([merged_t, t])
+        both_c = np.concatenate([merged_c, c])
+        u, inv = np.unique(both_t, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, both_c)
+        merged_t, merged_c = mg_partial(u, acc, C)
+    true_ids, true_cnt = np.unique(stream, return_counts=True)
+    n = len(stream)
+    must_survive = set(vocab[true_ids[true_cnt > n // (C + 1)]].tolist())
+    assert must_survive <= set(merged_t.tolist())
+    assert len(merged_t) <= C

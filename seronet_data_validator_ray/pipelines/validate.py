@@ -437,15 +437,25 @@ def validate(
             }
             for g in global_stats.group_counts
         }
-        ref_ref = ray.put(reference_histograms)
-        drift_ds = rd.from_arrow(drift_input_table(per_source)).map_batches(
-            DriftScorer,
-            fn_constructor_kwargs={"ref_ref": ref_ref, "alpha": drift_alpha},
-            batch_format="pyarrow",
-            concurrency=(1, 2),
-        )
+        drift_in = drift_input_table(per_source)
         tp = time.perf_counter()
-        drift_out = _ds_to_table(drift_ds, OUTCOME_SCHEMA)
+        if len(drift_in) <= 64:
+            # the stage input is n_sources rows (the corpus was already
+            # reduced to per-source histograms in the eval pass) — for a
+            # handful of sources, spawning an actor pool costs ~1 s to score
+            # a 6-row table. Same DriftScorer, driver-side instance.
+            drift_out = DriftScorer(reference=reference_histograms, alpha=drift_alpha)(
+                drift_in
+            )
+        else:
+            ref_ref = ray.put(reference_histograms)
+            drift_ds = rd.from_arrow(drift_in).map_batches(
+                DriftScorer,
+                fn_constructor_kwargs={"ref_ref": ref_ref, "alpha": drift_alpha},
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            drift_out = _ds_to_table(drift_ds, OUTCOME_SCHEMA)
         tp = _mark("drift", tp)
         dmask = pc.equal(drift_out["kind"], "drift_report")
         drift_reports = [

@@ -177,3 +177,45 @@ def test_cli_validate_smoke(tmp_path):
 
     assert os.path.exists(os.path.join(out, "verdicts.parquet"))
     assert os.path.isdir(os.path.join(out, "manifest"))
+
+
+def test_drift_actor_pool_path_matches_inline(ray_session):
+    """validate() scores drift inline below 64 sources; the actor-pool path
+    (many sources) must produce identical outcome rows for the same input."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from seronet_data_validator_ray.stages.drift import DriftScorer, drift_input_table
+
+    rng = np.random.default_rng(3)
+    ref, obs = {}, {}
+    for i in range(70):
+        base_t = rng.integers(100, 1000, size=64)
+        base_l = rng.integers(100, 1000, size=32)
+        ref[f"s{i:02d}"] = (base_t, base_l)
+        shift = 5 if i % 7 else 1  # every 7th source drifts hard
+        obs[f"s{i:02d}"] = {
+            "token_hist": np.roll(base_t * shift, i % 3),
+            "n_tok_hist": base_l * shift,
+        }
+    tbl = drift_input_table(obs)
+    reference = {k: {"token_hist": v[0], "n_tok_hist": v[1]} for k, v in ref.items()}
+    inline = DriftScorer(reference=reference, alpha=0.01)(tbl)
+    pooled = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            DriftScorer,
+            fn_constructor_kwargs={"ref_ref": ray.put(reference), "alpha": 0.01},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .take_all()
+    )
+    import pandas as pd
+
+    a = inline.to_pandas().sort_values(["partition", "kind"]).reset_index(drop=True)
+    b = pd.DataFrame(pooled).sort_values(["partition", "kind"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )

@@ -86,6 +86,7 @@ _VERIFY_FIRST = [
     "docs_dedup_incremental",
     "events_minmax_scale",
     "events_retention",
+    "events_rollup",
     "seq_drift",
     "docs_dup_ngrams",
     "docs_tfidf",

@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "docs_dedup_incremental",
     "events_minmax_scale",
     "events_retention",
+    "events_rollup",
     "embedding_pca",
 ]
 

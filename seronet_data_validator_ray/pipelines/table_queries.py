@@ -1562,3 +1562,82 @@ def events_retention(sf_dir: str) -> pa.Table:
             "n_users": g["n_users_sum"],
         }
     ).sort_by([("cohort_day", "ascending"), ("day_offset", "ascending")])
+
+
+# --------------------------------------------------------------- OLAP rollup
+
+_ROLLUP_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hr, -1) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, value
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY ROLLUP (event_type, hr)
+"""
+
+
+@query("events_rollup", _ROLLUP_SQL)
+def events_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (event_type, hour) — the OLAP subtotal family. The
+    distributed work is ONE combiner pass producing (type, hour, n, cents)
+    partials (at most types x 24 rows per block); the rollup levels are then
+    DERIVED from the merged base cells on the driver — subtotals are never a
+    second scan or shuffle. NULL group levels surface as 'ALL' / -1
+    sentinels so the compare stays scalar and hashable."""
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        ts = sub["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+        hr = (ts % DAY_US) // HOUR_US
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        cell = inv * 24 + hr
+        n = np.bincount(cell, minlength=len(uniq) * 24)
+        s = np.zeros(len(uniq) * 24, dtype=np.int64)
+        np.add.at(s, cell, cents)
+        nz = np.nonzero(n)[0]
+        return pa.table(
+            {
+                "event_type": pa.array(uniq[nz // 24], type=pa.string()),
+                "hr": pa.array(nz % 24, type=pa.int64()),
+                "n": pa.array(n[nz].astype(np.int64), type=pa.int64()),
+                "sum_cents": pa.array(s[nz], type=pa.int64()),
+            }
+        )
+
+    base = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).group_by(["event_type", "hr"]).aggregate([("n", "sum"), ("sum_cents", "sum")])
+    base = base.rename_columns(
+        [{"n_sum": "n", "sum_cents_sum": "sum_cents"}.get(c, c) for c in base.column_names]
+    )
+    by_type = base.group_by("event_type").aggregate([("n", "sum"), ("sum_cents", "sum")])
+    by_type = by_type.rename_columns(
+        [{"n_sum": "n", "sum_cents_sum": "sum_cents"}.get(c, c) for c in by_type.column_names]
+    )
+    by_type = by_type.add_column(
+        1, "hr", pa.array([-1] * len(by_type), type=pa.int64())
+    )
+    total = pa.table(
+        {
+            "event_type": pa.array(["ALL"], type=pa.string()),
+            "hr": pa.array([-1], type=pa.int64()),
+            "n": pa.array([int(pc.sum(base["n"]).as_py() or 0)], type=pa.int64()),
+            "sum_cents": pa.array(
+                [int(pc.sum(base["sum_cents"]).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )
+    cols = ["event_type", "hr", "n", "sum_cents"]
+    out = pa.concat_tables([base.select(cols), by_type.select(cols), total.select(cols)])
+    return out.sort_by([("event_type", "ascending"), ("hr", "ascending")])

@@ -87,6 +87,7 @@ _VERIFY_FIRST = [
     "events_minmax_scale",
     "events_retention",
     "events_rollup",
+    "seq_shard_balance",
     "seq_drift",
     "docs_dup_ngrams",
     "docs_tfidf",

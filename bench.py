@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "events_minmax_scale",
     "events_retention",
     "events_rollup",
+    "seq_shard_balance",
     "embedding_pca",
 ]
 

@@ -1026,3 +1026,117 @@ def seq_curriculum(sf_dir: str) -> pa.Table:
     return g.select(["batch_id", "n_seqs", "min_len", "max_len", "sum_tok"]).sort_by(
         [("batch_id", "ascending")]
     )
+
+
+# ----------------------------------------------------------- balanced shards
+
+SHARD_N = 16
+
+_SHARD_BALANCE_SQL = (
+    _CTE
+    + f"""
+, s AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS nt FROM seq
+  WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+), r AS (
+  SELECT nt, (row_number() OVER (ORDER BY nt DESC, doc_id) - 1) % {SHARD_N} AS shard
+  FROM s
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tok,
+       CAST(max(nt) AS BIGINT) AS max_tok
+FROM r GROUP BY shard
+"""
+)
+
+
+@query("seq_shard_balance", _SHARD_BALANCE_SQL)
+def seq_shard_balance(sf_dir: str) -> pa.Table:
+    """Token-balanced output-shard planning (the write-side partitioner a
+    training job wants: every shard carries ~the same token count, so no
+    data-loader rank starves). Deterministic longest-first round-robin:
+    global sort by (n_tok DESC, doc_id) + shard = rank % SHARD_N — within
+    any run of 16 consecutive ranks every shard receives one doc, bounding
+    the worst shard-total gap by one max-length doc. Same plan shape as
+    seq_curriculum: ONE range-partitioned sort, scalar per-block counts for
+    the rank prefix (block-count-sized driver state), per-block shard
+    partials via bincount, tiny driver merge. Tie-permutations of equal
+    (nt, doc_id) ranks cannot occur (doc_id breaks ties), and every emitted
+    aggregate depends only on nt — exact SQL parity."""
+    import ray
+
+    from seronet_data_validator_ray.sources.parquet import plan_read, read_with_provenance
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = read_with_provenance(plan.work_items(), columns=["doc_id", "n_tok"], yield_rows=65536)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "nt": pc.cast(batch["n_tok"], pa.int64())}
+        )
+        return t.filter(
+            pc.and_(pc.is_valid(batch["doc_id"]), pc.is_valid(batch["n_tok"]))
+        )
+
+    mat = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .sort(["nt", "doc_id"], descending=[True, False])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()  # dataset order == sort order
+
+    def block_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    def partials(t: pa.Table, base: int) -> pa.Table:
+        nt = t["nt"].to_numpy(zero_copy_only=False)
+        if not len(nt):
+            return pa.table(
+                {
+                    "shard": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "sum_tok": pa.array([], type=pa.int64()),
+                    "max_tok": pa.array([], type=pa.int64()),
+                }
+            )
+        shard = (base + np.arange(len(nt), dtype=np.int64)) % SHARD_N
+        n = np.bincount(shard, minlength=SHARD_N)
+        s = np.zeros(SHARD_N, dtype=np.int64)
+        np.add.at(s, shard, nt)
+        mx = np.zeros(SHARD_N, dtype=np.int64)
+        np.maximum.at(mx, shard, nt)
+        nz = np.nonzero(n)[0]
+        return pa.table(
+            {
+                "shard": pa.array(nz, type=pa.int64()),
+                "n_docs": pa.array(n[nz].astype(np.int64), type=pa.int64()),
+                "sum_tok": pa.array(s[nz], type=pa.int64()),
+                "max_tok": pa.array(mx[nz], type=pa.int64()),
+            }
+        )
+
+    count_task = ray.remote(block_count)
+    counts = ray.get([count_task.remote(r) for r in refs])
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    emit_task = ray.remote(partials)
+    outs = [
+        t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)
+    ]
+    merged = pa.concat_tables(outs)
+    g = merged.group_by("shard").aggregate(
+        [("n_docs", "sum"), ("sum_tok", "sum"), ("max_tok", "max")]
+    )
+    g = g.rename_columns(
+        [
+            {"n_docs_sum": "n_docs", "sum_tok_sum": "sum_tok", "max_tok_max": "max_tok"}.get(
+                c, c
+            )
+            for c in g.column_names
+        ]
+    )
+    return g.select(["shard", "n_docs", "sum_tok", "max_tok"]).sort_by(
+        [("shard", "ascending")]
+    )

@@ -731,3 +731,15 @@ def test_misra_gries_guarantee_on_adversarial_stream():
     must_survive = set(vocab[true_ids[true_cnt > n // (C + 1)]].tolist())
     assert must_survive <= set(merged_t.tolist())
     assert len(merged_t) <= C
+
+
+def test_shard_balance_gap_bounded(ray_session):
+    """Longest-first round-robin sharding: the worst shard-total gap is
+    bounded by one maximum-length document, and shards hold equal doc
+    counts up to one."""
+    from seronet_data_validator_ray.pipelines.seq_queries import REGISTRY
+
+    t = REGISTRY["seq_shard_balance"][0](SF).to_pandas()
+    assert len(t) == 16
+    assert t.sum_tok.max() - t.sum_tok.min() <= t.max_tok.max()
+    assert t.n_docs.max() - t.n_docs.min() <= 1

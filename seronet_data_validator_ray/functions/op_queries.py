@@ -1315,7 +1315,15 @@ def docs_inverted_index(sf_dir: str) -> pa.Table:
     ListArray/binary_join — no Python over terms or postings anywhere.
     Postings serialize as a comma-joined string (keeps the compare/oracle
     surface scalar). Each (term, doc) pair crosses the exchange exactly
-    once — the information-theoretic minimum for index construction."""
+    once — the information-theoretic minimum for index construction.
+
+    Known scale limit (named, not hit here): a stop-word-like term whose
+    postings approach corpus size produces one giant output row in one
+    reducer. The escalation is posting-row chunking — emit
+    (term, chunk_id = posting_rank // 8192, postings) rows, which the same
+    exchange produces by slicing each segment after the lexsort — or a DF
+    cutoff that drops terms with df > threshold before assembly (stop-word
+    posting lists are rarely queried)."""
     import numpy as np
 
     from seronet_data_validator_ray.functions.dedup import (

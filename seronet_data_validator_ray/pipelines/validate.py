@@ -250,12 +250,50 @@ def validate(
         waves.append(wave_files[i : i + step])
 
     rows_validated = 0
+    row_rules = ruleset.row_local()
     for w_i, wave in enumerate(waves):
+        if not row_rules and stats_spec is None:
+            # nothing to evaluate per row and nothing to accumulate: the
+            # per-partition entries below need only footer row counts, so the
+            # corpus is never scanned (a lifecycle table that exists purely
+            # as a cross-check side takes this path)
+            tp = time.perf_counter()
+            outcome_tbl = OUTCOME_SCHEMA.empty_table()
+            tp = _mark("eval", tp)
+            wave_viol = outcome_tbl.filter(
+                pc.equal(outcome_tbl["kind"], "violation")
+            ).select(VIOLATION_COLUMNS).cast(VIOLATION_SCHEMA)
+            viol_tables.append(wave_viol)
+            sev_counts = {}
+            for meta in wave:
+                entries[meta.partition] = {
+                    "input_file": meta.path,
+                    "input_fingerprint": fingerprints[meta.partition],
+                    "rows": meta.num_rows,
+                    "schema_ok": True,
+                    "rule_set_hash": rules_hash,
+                    "n_errors": 0,
+                    "n_warnings": 0,
+                    "n_not_validated": 0,
+                    "rule_breakdown": {},
+                }
+                rows_validated += meta.num_rows
+            if manifest:
+                from seronet_data_validator_ray.state.manifest import _safe
+
+                for meta in wave:
+                    out = os.path.join(viol_dir, f"rows-{_safe(meta.partition)}.parquet")
+                    if os.path.exists(out):
+                        os.remove(out)
+                    manifest.mark(meta.partition, entries[meta.partition])
+            if abort_after_waves is not None and w_i + 1 >= abort_after_waves:
+                raise AbortRun(f"aborted after wave {w_i + 1}/{len(waves)} (test hook)")
+            continue
         sub_plan = ReadPlan(files=wave)
         items = sub_plan.work_items(target_rows_per_task)
         ds = read_with_provenance(items, columns=columns, yield_rows=batch_size)
         eval_kwargs = {
-            "rules": ruleset.row_local(),
+            "rules": row_rules,
             "ctx_ref": ctx_ref,
             "key_column": ruleset.key_column,
             "stats_spec": stats_spec,

@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "events_retention",
     "events_rollup",
     "seq_shard_balance",
+    "orders_percentile",
     "seq_drift",
     "docs_dup_ngrams",
     "docs_tfidf",

@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "events_retention",
     "events_rollup",
     "seq_shard_balance",
+    "orders_percentile",
     "embedding_pca",
 ]
 

@@ -1641,3 +1641,65 @@ def events_rollup(sf_dir: str) -> pa.Table:
     cols = ["event_type", "hr", "n", "sum_cents"]
     out = pa.concat_tables([base.select(cols), by_type.select(cols), total.select(cols)])
     return out.sort_by([("event_type", "ascending"), ("hr", "ascending")])
+
+
+# ------------------------------------------------------------- percentile rank
+
+_NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(ntile(100) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+            AS BIGINT) AS pctile
+FROM orders
+"""
+
+
+@query("orders_percentile", _NTILE_SQL)
+def orders_percentile(sf_dir: str) -> pa.Table:
+    """Exact ntile(100) percentile bucketing (feature binning / outlier
+    capping prep): ONE range-partitioned global sort by (cents, key), then
+    the global rank comes from scalar per-block counts (block-count-sized
+    driver state — the seq_curriculum prefix pattern) and the ntile bucket
+    is pure vectorized arithmetic on the rank, replicating SQL ntile's
+    uneven-bucket rule (first n%k buckets take one extra row)."""
+    import numpy as np
+    import ray
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "cents": _cents(batch["o_totalprice"])}
+        )
+
+    mat = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cents", "o_orderkey"])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+
+    def block_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    count_task = ray.remote(block_count)
+    counts = ray.get([count_task.remote(r) for r in refs])
+    n = int(sum(counts))
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    K = 100
+    size_base, rem = divmod(n, K)
+
+    def emit(t: pa.Table, base: int) -> pa.Table:
+        rank = base + np.arange(t.num_rows, dtype=np.int64)
+        big = size_base + 1
+        cut = rem * big
+        bucket = np.where(rank < cut, rank // max(big, 1), rem + (rank - cut) // max(size_base, 1))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "pctile": pa.array(bucket + 1, type=pa.int64()),
+            }
+        )
+
+    emit_task = ray.remote(emit)
+    outs = [t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)]
+    return pa.concat_tables(outs).sort_by("o_orderkey")

@@ -314,3 +314,93 @@ def test_cleanup_batch_matches_bruteforce(rows):
         if not (all_empty or all_eq):
             want.append((r[0].replace("–", "-"), r[1].replace("–", "-")))
     assert list(zip(got["a"].to_pylist(), got["b"].to_pylist())) == want
+
+
+@settings(**SET)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab ") ),
+            min_size=0,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_chunk_batch_matches_python_reference(texts):
+    """chunk_batch (vectorized flat-buffer gather + binary_join) equals a
+    plain-Python reference on arbitrary single-space-split inputs, including
+    consecutive spaces (empty words), leading/trailing spaces and ''."""
+    from seronet_data_validator_ray.functions.op_queries import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        chunk_batch,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = chunk_batch(batch).to_pylist()
+    expect = []
+    for i, txt in enumerate(texts):
+        ws = txt.split(" ")
+        for k, start in enumerate(range(0, max(len(ws) - 1, 0) + 1, CHUNK_STRIDE)):
+            seg = ws[start : start + CHUNK_WORDS]
+            expect.append(
+                {
+                    "doc_id": i,
+                    "chunk_id": k,
+                    "n_words": len(seg),
+                    "chunk_text": " ".join(seg),
+                }
+            )
+    assert got == expect
+
+
+@settings(**SET)
+@given(
+    blocks=st.lists(
+        st.lists(st.integers(0, 300), min_size=0, max_size=400),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_misra_gries_merge_undercount_bound(blocks):
+    """After per-block compression + pairwise merges, every surviving count
+    underestimates the true count by at most N/(C+1), and every item with
+    true count > N/(C+1) survives."""
+    from seronet_data_validator_ray.functions.op_queries import mg_partial
+
+    C = 16
+    merged_t = np.array([], dtype=object)
+    merged_c = np.array([], dtype=np.int64)
+    all_items = []
+    for b in blocks:
+        all_items.extend(b)
+        if not b:
+            continue
+        ids, cnt = np.unique(np.array(b), return_counts=True)
+        t, c = mg_partial(ids.astype(object), cnt.astype(np.int64), C)
+        bt = np.concatenate([merged_t, t])
+        bc = np.concatenate([merged_c, c])
+        u, inv = np.unique(bt, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, bc)
+        merged_t, merged_c = mg_partial(u, acc, C)
+    if not all_items:
+        return
+    n = len(all_items)
+    true_ids, true_cnt = np.unique(np.array(all_items), return_counts=True)
+    true_of = dict(zip(true_ids.tolist(), true_cnt.tolist()))
+    bound = n // (C + 1)
+    kept = dict(zip(merged_t.tolist(), merged_c.tolist()))
+    for item, cnt in kept.items():
+        assert cnt <= true_of[item]
+        assert true_of[item] - cnt <= bound
+    for item, cnt in true_of.items():
+        if cnt > bound:
+            assert item in kept

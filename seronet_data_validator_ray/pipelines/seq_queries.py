@@ -387,9 +387,14 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = read_with_provenance(
-        plan.work_items(), columns=["tokens", "source"], yield_rows=8192
-    ).map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # plain task-based read (no provenance needed for a histogram; the
+    # provenance reader's actor pool costs ~1-2 s per call — same change as
+    # _tagged_hist_partials); plan_read still gates schema-mismatch files
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [f.path for f in plan.files if f.schema_ok], columns=["tokens", "source"]
+    ).map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True)
     # partials are <= n_sources * 64 rows per block: merge with one
     # driver-side Arrow group_by (Ray's distributed aggregate has a fixed
     # machinery cost that dwarfs this tiny payload — see BASELINE.md)

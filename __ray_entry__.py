@@ -79,6 +79,11 @@ def entry() -> Any:
 # oracle-parity test, tests/test_queries_oracle.py).
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
+    "events_anomaly",
+    "revenue_by_nation",
+    "customer_rfm",
+    "docs_ttr",
+    "seq_oov_rate",
     "docs_chunk",
     "docs_inverted_index",
     "docs_lm_score",

@@ -1145,3 +1145,89 @@ def seq_shard_balance(sf_dir: str) -> pa.Table:
     return g.select(["shard", "n_docs", "sum_tok", "max_tok"]).sort_by(
         [("shard", "ascending")]
     )
+
+
+# ----------------------------------------------------------------- OOV rate
+
+_OOV_SQL = (
+    _CTE
+    + f"""
+SELECT source,
+       CAST(SUM(len(list_filter(tokens, x -> x < 0 OR x >= {VOCAB}))) AS BIGINT) AS n_oov,
+       CAST(SUM(len(tokens)) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(list_filter(tokens, x -> x < 0 OR x >= {VOCAB}))) * 1000000
+            // SUM(len(tokens)) AS BIGINT) AS oov_ppm
+FROM seq
+WHERE source IS NOT NULL AND source <> '' AND len(tokens) > 0
+GROUP BY source
+"""
+)
+
+
+@query("seq_oov_rate", _OOV_SQL)
+def seq_oov_rate(sf_dir: str) -> pa.Table:
+    """Per-source out-of-vocabulary token rate in exact integer ppm (the
+    corpus-health metric behind the tokens.range rule, M6 generalized from
+    row flagging to a distribution summary). One no-shuffle pass: zero-copy
+    token flatten, one vectorized range mask, per-source token totals via
+    length-weighted bincounts; partials are n_sources rows per block, merged
+    with one driver Arrow group_by (exact Python-int division at the end —
+    token totals at 10^12 rows stay inside int64, and the ppm division is
+    done once per source, not per row)."""
+    from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+    d = ensure_seq(sf_dir)
+    import ray.data
+
+    from seronet_data_validator_ray.sources.parquet import plan_read
+
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src_valid = pc.and_kleene(
+            pc.is_valid(batch["source"]), pc.not_equal(batch["source"], "")
+        )
+        sub = batch.filter(pc.fill_null(src_valid, False))
+        lengths, flat = flat_list_view(sub, "tokens", {})
+        keep = lengths > 0  # SQL drops len(tokens)=0 ROWS (a source of only
+        # empty rows must not appear in the output)
+        src = np.asarray(sub["source"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, gidx = np.unique(src[keep], return_inverse=True)
+        oov = (flat < 0) | (flat >= VOCAB)
+        # every flat token belongs to a row with length >= 1, so repeating the
+        # per-row group id by length covers the whole oov mask; len-0 rows
+        # contribute nothing (any placeholder gid works — 0 is safe)
+        gid_of_row = np.zeros(len(lengths), dtype=np.int64)
+        gid_of_row[keep] = gidx
+        tok_gid = np.repeat(gid_of_row, lengths)
+        n_tok = np.bincount(gidx, weights=lengths[keep], minlength=len(uniq)).astype(np.int64)
+        n_oov = np.bincount(tok_gid, weights=oov, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array([str(u) for u in uniq], type=pa.string()),
+                "n_oov": pa.array(n_oov, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        [f.path for f in plan.files if f.schema_ok], columns=["tokens", "source"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.util import ds_to_table
+
+    partials = ds_to_table(ds)
+    g = partials.group_by("source").aggregate([("n_oov", "sum"), ("n_tokens", "sum")])
+    oovs = g["n_oov_sum"].to_pylist()
+    toks = g["n_tokens_sum"].to_pylist()
+    return pa.table(
+        {
+            "source": g["source"],
+            "n_oov": pa.array(oovs, type=pa.int64()),
+            "n_tokens": pa.array(toks, type=pa.int64()),
+            "oov_ppm": pa.array(
+                [o * 1_000_000 // t for o, t in zip(oovs, toks)], type=pa.int64()
+            ),
+        }
+    )
+
+

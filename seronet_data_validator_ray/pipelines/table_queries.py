@@ -1703,3 +1703,356 @@ def orders_percentile(sf_dir: str) -> pa.Table:
     emit_task = ray.remote(emit)
     outs = [t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)]
     return pa.concat_tables(outs).sort_by("o_orderkey")
+
+
+# ------------------------------------------------------------- anomaly detection
+
+_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS q
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN st USING (event_type)
+WHERE (CAST(c.cents AS HUGEINT) * st.n - st.s) * (CAST(c.cents AS HUGEINT) * st.n - st.s)
+      > 9 * (st.n * st.q - st.s * st.s)
+"""
+
+
+@query("events_anomaly", _ANOMALY_SQL)
+def events_anomaly(sf_dir: str) -> pa.Table:
+    """Per-type z-score outlier flagging (|x - mean| > 3*stddev), EXACT at any
+    scale: the gate is evaluated as the integer cross-multiplication
+    (x*n - s)^2 > 9*(n*q - s^2) so no float division/sqrt touches the verdict
+    (mirrors DuckDB HUGEINT arithmetic bit-for-bit). Plan: pass 1 reduces each
+    batch to (type, n, sum, sumsq) int64 partials merged on the driver with
+    arbitrary-precision Python ints (a few rows per block — no shuffle); pass 2
+    re-streams and flags from the broadcast per-type constants. The flag
+    compare runs vectorized in float64 with a 1e-9 relative guard band; only
+    rows inside the band (measure-zero boundary cases) re-check with exact
+    ints. Outlier scan ≙ the reference's range/consistency checks
+    (Validation_Rules.py) generalized to a distributional rule."""
+    import numpy as np
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        q = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(q, inv, cents * cents)  # cents^2 <= ~2.4e9; safe in int64 per batch
+        return pa.table(
+            {
+                "event_type": pa.array([str(u) for u in uniq], type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "s": pa.array(s, type=pa.int64()),
+                "q": pa.array(q, type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            moments, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    # exact merge: Python ints never overflow (sum of cents^2 at 1e12 rows
+    # exceeds int64; the per-type totals live only on the driver, one row
+    # per event_type)
+    stats: dict[str, list[int]] = {}
+    for t, n, s, qv in zip(
+        partials["event_type"].to_pylist(),
+        partials["n"].to_pylist(),
+        partials["s"].to_pylist(),
+        partials["q"].to_pylist(),
+    ):
+        acc = stats.setdefault(t, [0, 0, 0])
+        acc[0] += n
+        acc[1] += s
+        acc[2] += qv
+    # rhs = 9*(n*q - s^2) computed exactly once per type
+    st = {t: (n, s, 9 * (n * q - s * s)) for t, (n, s, q) in stats.items()}
+    st_ref = ray.put(st)
+
+    def flag(batch: pa.Table, ref=st_ref) -> pa.Table:
+        stl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        n_f = np.array([float(stl[str(u)][0]) for u in uniq])[inv]
+        s_f = np.array([float(stl[str(u)][1]) for u in uniq])[inv]
+        rhs_f = np.array([float(stl[str(u)][2]) for u in uniq])[inv]
+        d = cents.astype(np.float64) * n_f - s_f
+        lhs_f = d * d
+        mag = np.maximum(lhs_f, np.abs(rhs_f)) + 1.0
+        keep = lhs_f > rhs_f + mag * 1e-9
+        border = ~keep & (lhs_f > rhs_f - mag * 1e-9)
+        for i in np.nonzero(border)[0]:
+            nn, ss, rr = stl[str(uniq[inv[i]])]
+            x = int(cents[i])
+            keep[i] = (x * nn - ss) ** 2 > rr
+        out = sub.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": out["event_id"],
+                "event_type": out["event_type"],
+                "cents": _cents(out["value"]),
+            }
+        )
+
+    return _ds_table(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]).map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
+# ------------------------------------------------------ Q5-style nation revenue
+
+_NATION_REV_SQL = """
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("revenue_by_nation", _NATION_REV_SQL)
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-style local-supplier volume (revenue where the customer's and
+    supplier's nations match). Same scale posture as revenue_by_region: ONE
+    co-partitioned fact-fact Dataset.join (lineitem pre-combined per batch to
+    (orderkey, supp_nation) cells), all dimensions broadcast (supplier->nation
+    and customer->nation are key->int8 maps), and the final aggregate is a
+    per-batch int64 bincount over nation codes merged as a 25-row driver
+    table."""
+    import numpy as np
+    import ray
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    n_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_names = nation["n_name"].to_pylist()
+    name_of = np.empty(int(n_keys.max()) + 1, dtype=object)
+    name_of[n_keys] = n_names
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    co = np.argsort(ck)
+    dim_ref = ray.put(
+        {
+            "sk": sk[so],
+            "snat": supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[so],
+            "ck": ck[co],
+            "cnat": cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[co],
+            "nnames": name_of,
+        }
+    )
+
+    def li_partial(batch: pa.Table, ref=dim_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        d = _resolve_broadcast(ref)
+        suppkey = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d["sk"], suppkey)
+        pos[pos == len(d["sk"])] = 0
+        hit = d["sk"][pos] == suppkey  # drop unmatched suppliers, don't misattribute
+        snat = d["snat"][pos[hit]]
+        t = pa.table(
+            {
+                "l_orderkey": pc.array_filter(batch["l_orderkey"], pa.array(hit)),
+                "snat": pa.array(snat, type=pa.int64()),
+                "cents": pc.array_filter(_cents(batch["l_extendedprice"]), pa.array(hit)),
+            }
+        )
+        g = t.group_by(["l_orderkey", "snat"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "snat": g["snat"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    from seronet_data_validator_ray.util import auto_join_partitions
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=auto_join_partitions(
+            os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet")
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    n_nation = len(name_of)
+
+    def nation_partial(batch: pa.Table, ref=dim_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        d = _resolve_broadcast(ref)
+        custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d["ck"], custkey)
+        pos[pos == len(d["ck"])] = 0
+        hit = d["ck"][pos] == custkey
+        same = np.zeros(len(custkey), dtype=bool)
+        same[hit] = d["cnat"][pos[hit]] == batch["snat"].to_numpy(zero_copy_only=False)[hit]
+        code = batch["snat"].to_numpy(zero_copy_only=False)[same]
+        n_acc = np.zeros(n_nation, dtype=np.int64)
+        c_acc = np.zeros(n_nation, dtype=np.int64)
+        np.add.at(n_acc, code, batch["n"].to_numpy(zero_copy_only=False)[same])
+        np.add.at(c_acc, code, batch["cents"].to_numpy(zero_copy_only=False)[same])
+        nz = np.nonzero(n_acc)[0]
+        return pa.table(
+            {
+                "nation": pa.array([str(d["nnames"][i]) for i in nz], type=pa.string()),
+                "n": pa.array(n_acc[nz], type=pa.int64()),
+                "revenue_cents": pa.array(c_acc[nz], type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        joined.map_batches(nation_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    g = partials.group_by("nation").aggregate([("n", "sum"), ("revenue_cents", "sum")])
+    return g.rename_columns(["nation", "n", "revenue_cents"]).select(
+        ["nation", "n", "revenue_cents"]
+    )
+
+
+# ------------------------------------------------------------------ customer RFM
+
+_RFM_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents,
+         CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order_day
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, frequency, monetary_cents, last_order_day,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS quartile
+FROM r
+"""
+
+
+@query("customer_rfm", _RFM_SQL)
+def customer_rfm(sf_dir: str) -> pa.Table:
+    """RFM segmentation (recency / frequency / monetary + spend quartile) —
+    the aggregate-then-window composite: per-batch combiners shrink orders to
+    distinct-custkey cells, ONE groupby(custkey) shuffle finishes the exact
+    aggregates, then the quartile comes from the orders_percentile machinery
+    (range-partitioned global sort by (-monetary, custkey) + scalar per-block
+    rank prefix; driver state = block count)."""
+    import numpy as np
+    import ray
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _cents(batch["o_totalprice"]),
+                "ts": pc.cast(batch["o_orderdate"], pa.int64()),
+            }
+        )
+        g = t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count"), ("ts", "max")]
+        )
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "monetary_cents": g["cents_sum"],
+                "frequency": pc.cast(g["cents_count"], pa.int64()),
+                "ts_max": g["ts_max"],
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"][:1],
+                "frequency": pa.array([int(pc.sum(g["frequency"]).as_py())], type=pa.int64()),
+                "monetary_cents": pa.array(
+                    [int(pc.sum(g["monetary_cents"]).as_py())], type=pa.int64()
+                ),
+                "ts_max": pa.array([int(pc.max(g["ts_max"]).as_py())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+    def neg_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_m", pc.negate(pc.cast(batch["monetary_cents"], pa.int64()))
+        )
+
+    mat = agg.map_batches(neg_key, batch_format="pyarrow").sort(["neg_m", "o_custkey"]).materialize()
+    refs = mat.to_arrow_refs()
+
+    def block_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([ray.remote(block_count).remote(r) for r in refs])
+    n = int(sum(counts))
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    K = 4
+    size_base, rem = divmod(n, K)
+
+    def emit(t: pa.Table, base: int) -> pa.Table:
+        rank = base + np.arange(t.num_rows, dtype=np.int64)
+        big = size_base + 1
+        cut = rem * big
+        bucket = np.where(
+            rank < cut, rank // max(big, 1), rem + (rank - cut) // max(size_base, 1)
+        )
+        day = (t["ts_max"].to_numpy(zero_copy_only=False) // 86_400_000_000).astype(
+            "datetime64[D]"
+        )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "frequency": t["frequency"],
+                "monetary_cents": t["monetary_cents"],
+                "last_order_day": pa.array([str(d) for d in day], type=pa.string()),
+                "quartile": pa.array(bucket + 1, type=pa.int64()),
+            }
+        )
+
+    emit_task = ray.remote(emit)
+    outs = [
+        t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)
+    ]
+    return pa.concat_tables(outs).sort_by("o_custkey")

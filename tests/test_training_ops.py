@@ -743,3 +743,65 @@ def test_shard_balance_gap_bounded(ray_session):
     assert len(t) == 16
     assert t.sum_tok.max() - t.sum_tok.min() <= t.max_tok.max()
     assert t.n_docs.max() - t.n_docs.min() <= 1
+
+
+def test_events_anomaly_exact_boundary(ray_session, tmp_path):
+    """z^2 == 9 exactly must NOT flag (strict >), z^2 just above must.
+    Construction: k zeros + one value a gives, for the outlier,
+    (a*n - a)^2 vs 9*(n*a^2 - a^2) -> (n-1)^2 vs 9*(n-1): equality at n=10,
+    flag at n=11. This drives the float guard band into the exact-int
+    recheck path on the n=10 boundary row."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.pipelines.table_queries import events_anomaly
+
+    rows = []
+    eid = 0
+    for typ, zeros in (("edge10", 9), ("edge11", 10)):
+        for _ in range(zeros):
+            rows.append((eid, typ, 0.0))
+            eid += 1
+        rows.append((eid, typ, 5.0))
+        eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = events_anomaly(str(tmp_path)).to_pandas()
+    assert set(out["event_type"]) == {"edge11"}, out
+    assert out["cents"].tolist() == [500]
+
+
+def test_docs_ttr_degenerate_split_semantics(ray_session, tmp_path):
+    """TTR must follow split(' ') semantics exactly: consecutive spaces make
+    empty-string words, repeats collapse in n_types, single word -> 10000 bp."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.op_queries import docs_ttr
+
+    texts = {
+        1: "a b a b a",      # 5 words, 2 types
+        2: "a  b",           # 3 words ('a','','b'), 3 types
+        3: "solo",           # 1 word
+        4: "",               # filtered out
+        5: None,             # filtered out
+        6: "x x x x",        # 4 words, 1 type
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = docs_ttr(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert out.index.tolist() == [1, 2, 3, 6]
+    assert out.loc[1, "n_words"] == 5 and out.loc[1, "n_types"] == 2
+    assert out.loc[1, "ttr_bp"] == 2 * 10000 // 5
+    assert out.loc[2, "n_words"] == 3 and out.loc[2, "n_types"] == 3
+    assert out.loc[3, "ttr_bp"] == 10000
+    assert out.loc[6, "n_words"] == 4 and out.loc[6, "n_types"] == 1

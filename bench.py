@@ -178,6 +178,11 @@ QUERY_NAMES = [
     "seq_shard_balance",
     "orders_percentile",
     "embedding_pca",
+    "events_anomaly",
+    "revenue_by_nation",
+    "customer_rfm",
+    "docs_ttr",
+    "seq_oov_rate",
 ]
 
 

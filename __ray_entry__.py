@@ -80,6 +80,8 @@ def entry() -> Any:
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "events_anomaly",
+    "top_suppliers_per_nation",
+    "orders_median_by_priority",
     "revenue_by_nation",
     "customer_rfm",
     "docs_ttr",

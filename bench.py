@@ -183,6 +183,8 @@ QUERY_NAMES = [
     "customer_rfm",
     "docs_ttr",
     "seq_oov_rate",
+    "top_suppliers_per_nation",
+    "orders_median_by_priority",
 ]
 
 

@@ -2056,3 +2056,166 @@ def customer_rfm(sf_dir: str) -> pa.Table:
         t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)
     ]
     return pa.concat_tables(outs).sort_by("o_custkey")
+
+
+# ------------------------------------------------------- dense-rank with ties
+
+_TOP_SUPP_SQL = """
+WITH r AS (
+  SELECT s_suppkey, s_nationkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+         DENSE_RANK() OVER (
+           PARTITION BY s_nationkey
+           ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC
+         ) AS rnk
+  FROM supplier
+)
+SELECT r.s_suppkey, n.n_name AS nation, r.bal_cents, CAST(r.rnk AS BIGINT) AS rnk
+FROM r JOIN nation n ON r.s_nationkey = n.n_nationkey
+WHERE r.rnk <= 2
+"""
+
+
+@query("top_suppliers_per_nation", _TOP_SUPP_SQL)
+def top_suppliers_per_nation(sf_dir: str) -> pa.Table:
+    """Grouped top-k by DENSE_RANK with ties kept — the rank-with-ties window
+    the row-limited top-k combiners (T25) cannot express. The combiner
+    argument: a row whose value is among the global top-2 DISTINCT values of
+    its group is among the top-2 distinct values of ANY batch containing it
+    (a batch's distinct set is a subset), so per-batch top-2-distinct
+    filtering is a lossless partial; the driver finisher re-ranks the
+    group-count-bounded survivors. One vectorized lexsort per batch, no
+    shuffle."""
+    import numpy as np
+
+    def _top2_distinct(nk: "np.ndarray", bal: "np.ndarray"):
+        order = np.lexsort((-bal, nk))
+        nk_s, bal_s = nk[order], bal[order]
+        if len(nk_s) == 0:
+            return order[:0], np.zeros(0, dtype=np.int64)
+        new_nation = np.empty(len(nk_s), dtype=bool)
+        new_nation[0] = True
+        np.not_equal(nk_s[1:], nk_s[:-1], out=new_nation[1:])
+        new_val = np.empty(len(nk_s), dtype=bool)
+        new_val[0] = True
+        new_val[1:] = (bal_s[1:] != bal_s[:-1]) | new_nation[1:]
+        val_id = np.cumsum(new_val) - 1
+        # first distinct-value id of each row's nation, repeated per row
+        seg_starts = np.flatnonzero(new_nation)
+        seg_lengths = np.diff(np.r_[seg_starts, len(nk_s)])
+        first_val = np.repeat(val_id[seg_starts], seg_lengths)
+        rnk = val_id - first_val + 1  # dense rank, 1-based
+        keep = rnk <= 2
+        return order[keep], rnk[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = _cents(batch["s_acctbal"]).to_numpy(zero_copy_only=False)
+        idx, _ = _top2_distinct(nk, bal)
+        sel = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                "s_suppkey": sel["s_suppkey"],
+                "s_nationkey": pc.cast(sel["s_nationkey"], pa.int64()),
+                "bal_cents": _cents(sel["s_acctbal"]),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = partials["s_nationkey"].to_numpy(zero_copy_only=False)
+    bal = partials["bal_cents"].to_numpy(zero_copy_only=False)
+    idx, rnk = _top2_distinct(nk.astype(np.int64), bal)
+    final = partials.take(pa.array(idx))
+    name_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    name_of = np.empty(int(name_keys.max()) + 1, dtype=object)
+    name_of[name_keys] = nation["n_name"].to_pylist()
+    return pa.table(
+        {
+            "s_suppkey": final["s_suppkey"],
+            "nation": pa.array(
+                [str(name_of[k]) for k in final["s_nationkey"].to_pylist()], type=pa.string()
+            ),
+            "bal_cents": final["bal_cents"],
+            "rnk": pa.array(rnk, type=pa.int64()),
+        }
+    )
+
+
+# -------------------------------------------------------- exact group median
+
+_MEDIAN_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS median_cents
+FROM c GROUP BY o_orderpriority
+"""
+
+
+@query("orders_median_by_priority", _MEDIAN_SQL)
+def orders_median_by_priority(sf_dir: str) -> pa.Table:
+    """Exact per-group median (percentile_disc(0.5): the sorted element at
+    0-based rank (n-1)//2) — the exact counterpart of the t-digest
+    approx_quantiles_by_group (T29). Plan: per-batch (group, value) COUNT
+    partials (value-cardinality-bounded, not row-bounded — order prices are
+    bounded-precision cents) -> one driver Arrow group_by merge -> per-group
+    sorted cumulative count selects the rank element. A holistic aggregate
+    made mergeable by exchanging the value histogram instead of the rows; if
+    value cardinality ever rivals row count, the escalation is the T63
+    sort+rank machinery."""
+    import numpy as np
+
+    def vc(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["o_orderpriority", "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "cents": g["cents"],
+                "cnt": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]).map_batches(
+            vc, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = partials.group_by(["o_orderpriority", "cents"]).aggregate([("cnt", "sum")])
+    prio = np.asarray(g["o_orderpriority"].to_numpy(zero_copy_only=False), dtype=object)
+    cents = g["cents"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+    uniq, gidx = np.unique(prio, return_inverse=True)
+    order = np.lexsort((cents, gidx))
+    gidx_s, cents_s, cnt_s = gidx[order], cents[order], cnt[order]
+    out_prio, out_n, out_med = [], [], []
+    starts = np.flatnonzero(np.r_[True, gidx_s[1:] != gidx_s[:-1]])
+    ends = np.r_[starts[1:], len(gidx_s)]
+    for k, (a, b) in enumerate(zip(starts, ends)):
+        seg_cnt = cnt_s[a:b]
+        n = int(seg_cnt.sum())
+        cum = np.cumsum(seg_cnt)
+        pos = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        out_prio.append(str(uniq[gidx_s[a]]))
+        out_n.append(n)
+        out_med.append(int(cents_s[a + pos]))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out_prio, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "median_cents": pa.array(out_med, type=pa.int64()),
+        }
+    )

@@ -22,11 +22,19 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """Own the Ray session. RAY_ADDRESS selects the target: unset/"local"
+    starts a local instance (this sandbox); on a multi-node cluster the same
+    CLI runs unchanged under `ray job submit` (the job runtime presets
+    RAY_ADDRESS=auto, connecting to the existing cluster — --cpus is then
+    ignored because the cluster sizes itself)."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
 

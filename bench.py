@@ -185,6 +185,7 @@ QUERY_NAMES = [
     "seq_oov_rate",
     "top_suppliers_per_nation",
     "orders_median_by_priority",
+    "events_wau",
 ]
 
 

@@ -2219,3 +2219,115 @@ def orders_median_by_priority(sf_dir: str) -> pa.Table:
             "median_cents": pa.array(out_med, type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- weekly active users
+
+_WAU_SQL = """
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+d AS (SELECT DISTINCT day FROM a)
+SELECT CAST(d.day AS VARCHAR) AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@query("events_wau", _WAU_SQL)
+def events_wau(sf_dir: str) -> pa.Table:
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that naive plans solve with a 7x self-join. Here each user
+    contributes its covered-day set ONCE: distinct (user, day) combiners ->
+    user-hash bucketed exchange -> per user, consecutive active days merge
+    into runs (gap <= 6) and each run expands to one arange of covered days
+    (disjoint by construction, so per-user distinctness is free) -> per-bucket
+    day counts. Driver merge is day-cardinality bounded; a user's rows never
+    meet another user's, so the hot-day skew of the self-join plan never
+    materializes."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    DAY_US = 86_400_000_000
+
+    def emit(batch: pa.Table) -> pa.Table:
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            // DAY_US
+        )
+        pair = np.unique(np.stack([user, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "bkey": pa.array(pair[:, 0], type=pa.int64()),
+                "day": pa.array(pair[:, 1], type=pa.int64()),
+            }
+        )
+
+    def reduce_wau(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("n", pa.int64())])
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        user = t["bkey"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        u_s, d_s = user[order], day[order]
+        keep = np.ones(len(u_s), dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        # run break: new user OR gap > 6 days (covered intervals [d, d+6]
+        # merge exactly when consecutive active days are <= 6 apart)
+        new_run = np.ones(len(u_s), dtype=bool)
+        new_run[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] - d_s[:-1] > 6)
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(u_s)]
+        first = d_s[starts]
+        last = d_s[ends - 1]
+        lengths = last + 7 - first  # covered days per run, disjoint per user
+        total = int(lengths.sum())
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        cum = np.zeros(len(starts), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=cum[1:])
+        covered = np.arange(total, dtype=np.int64) - cum[run_of] + first[run_of]
+        days_u, counts = np.unique(covered, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(days_u, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_wau,
+        distinct_output=False,
+    )
+    g = partials.group_by("day").aggregate([("n", "sum")])
+
+    # observed active days (day-cardinality bounded): a covered day with no
+    # activity on the day itself is not a row in the SQL output
+    def days_only(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            // DAY_US
+        )
+        return pa.table({"day": pa.array(np.unique(day), type=pa.int64())})
+
+    observed = _ds_table(
+        _read(sf_dir, "events", columns=["ts"]).map_batches(
+            days_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    obs = np.unique(observed["day"].to_numpy(zero_copy_only=False))
+    day_np = g["day"].to_numpy(zero_copy_only=False)
+    mask = np.isin(day_np, obs)
+    days_str = day_np[mask].astype("datetime64[D]").astype(str)
+    return pa.table(
+        {
+            "day": pa.array(days_str, type=pa.string()),
+            "wau": pa.array(g["n_sum"].to_numpy(zero_copy_only=False)[mask], type=pa.int64()),
+        }
+    ).sort_by("day")

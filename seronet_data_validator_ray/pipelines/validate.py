@@ -165,6 +165,7 @@ def validate(
     drift_alpha: float = 0.01,
     not_validated_rule_id: str = "tokens.not_validated",
     max_not_validated_rows: int = 10_000,
+    violation_row_cap: int | None = None,
     file_glob: str = "part-*.parquet",
 ) -> ValidationResult:
     """Run the full validation pipeline. Ray must already be initialised."""
@@ -297,6 +298,7 @@ def validate(
             "ctx_ref": ctx_ref,
             "key_column": ruleset.key_column,
             "stats_spec": stats_spec,
+            "violation_row_cap": violation_row_cap,
         }
         if eval_mode == "actors":
             # fixed-size actor pool (autoscaling from 1 ramps too slowly for a
@@ -366,6 +368,20 @@ def validate(
                 d = sev_counts.setdefault(p, {"Error": 0, "Warning": 0, "Not Validated": 0, "rules": {}})
                 d[sev] = d.get(sev, 0) + cnt
                 d["rules"][rid] = d["rules"].get(rid, 0) + cnt
+        if violation_row_cap is not None:
+            # fold in the overflow accounting rows: each carries the exact
+            # count of rows NOT sampled for one capped (partition, rule,
+            # severity) batch cell — additive on top of the sample tallies
+            rc = outcome_tbl.filter(pc.equal(outcome_tbl["kind"], "rulecount"))
+            for p, rid, sev, extra in zip(
+                rc["partition"].to_pylist(),
+                rc["rule_id"].to_pylist(),
+                rc["severity"].to_pylist(),
+                rc["n_rows"].to_pylist(),
+            ):
+                d = sev_counts.setdefault(p, {"Error": 0, "Warning": 0, "Not Validated": 0, "rules": {}})
+                d[sev] = d.get(sev, 0) + extra
+                d["rules"][rid] = d["rules"].get(rid, 0) + extra
         for meta in wave:
             d = sev_counts.get(
                 meta.partition, {"Error": 0, "Warning": 0, "Not Validated": 0, "rules": {}}

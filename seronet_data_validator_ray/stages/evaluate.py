@@ -103,6 +103,7 @@ class RuleEvaluator:
         ctx_ref=None,
         key_column: str | None = "doc_id",
         stats_spec: StatsSpec | None = None,
+        violation_row_cap: int | None = None,
     ):
         self._base_ctx = ctx or {}
         self._ctx_ref = ctx_ref
@@ -110,6 +111,13 @@ class RuleEvaluator:
         self.rules = [r for r in rules if r.kind != "unique"]
         self.key_column = key_column
         self.stats_spec = stats_spec
+        # 100 TB guard: a pathological input (every row fails a rule) must not
+        # stream row-count-sized violation payloads to the driver. When set,
+        # each batch emits at most cap sample rows per (rule, severity) cell
+        # plus one 'rulecount' accounting row carrying the cell's FULL count
+        # per partition, so verdict totals stay exact while the row payload is
+        # bounded by cap x rules x batches.
+        self.violation_row_cap = violation_row_cap
 
     @property
     def ctx(self) -> dict:
@@ -144,6 +152,40 @@ class RuleEvaluator:
         idx = np.nonzero(mask)[0]
         if len(idx) == 0:
             return None
+        overflow = None
+        cap = self.violation_row_cap
+        if cap is not None and len(idx) > cap:
+            # slow path, only when a batch cell actually overflows: count the
+            # rows NOT sampled, per partition, so the driver can add the exact
+            # remainder to the verdict tallies without double-counting the
+            # cap sample rows it already sees
+            parts_np = np.asarray(part.to_numpy(zero_copy_only=False), dtype=object)
+            full_u, full_c = np.unique(parts_np[idx], return_counts=True)
+            samp_u, samp_c = np.unique(parts_np[idx[:cap]], return_counts=True)
+            sampled_of = dict(zip(samp_u, samp_c))
+            extra = np.array(
+                [c - sampled_of.get(u, 0) for u, c in zip(full_u, full_c)], dtype=np.int64
+            )
+            nz = extra > 0
+            uniq, counts = full_u[nz], extra[nz]
+            k = len(uniq)
+            overflow = pa.table(
+                {
+                    "kind": pa.array(["rulecount"] * k),
+                    "rule_id": pa.array([spec.rule_id] * k),
+                    "partition": pa.array([str(u) for u in uniq], type=pa.string()),
+                    "row_index": pa.nulls(k, pa.int64()),
+                    "doc_id": pa.nulls(k, pa.string()),
+                    "column": pa.array([spec.column] * k),
+                    "observed": pa.nulls(k, pa.string()),
+                    "severity": pa.array([severity] * k),
+                    "message": pa.nulls(k, pa.string()),
+                    "n_rows": pa.array(counts, type=pa.int64()),
+                    "payload": pa.nulls(k, pa.binary()),
+                },
+                schema=OUTCOME_SCHEMA,
+            )
+            idx = idx[:cap]
         take_idx = pa.array(idx, type=pa.int64())
         if isinstance(observed, dict):
             obs = pa.array([observed.get(int(i), "") for i in idx], type=pa.string())
@@ -156,7 +198,7 @@ class RuleEvaluator:
         msg = spec.describe() if severity != Severity.NOT_VALIDATED else (
             f"{spec.rule_id}: dependency invalid, rule not evaluated"
         )
-        return pa.table(
+        sample = pa.table(
             {
                 "kind": pa.array(["violation"] * len(idx)),
                 "rule_id": pa.array([spec.rule_id] * len(idx)),
@@ -172,6 +214,7 @@ class RuleEvaluator:
             },
             schema=OUTCOME_SCHEMA,
         )
+        return sample if overflow is None else pa.concat_tables([sample, overflow])
 
     # ----------------------------------------------------------------- call
 

@@ -219,3 +219,32 @@ def test_drift_actor_pool_path_matches_inline(ray_session):
     pd.testing.assert_frame_equal(
         a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
     )
+
+
+def test_violation_row_cap_keeps_exact_tallies(bad_dir, reference_hists, bad_result):
+    """With a tiny per-batch violation cap the row payload shrinks, but every
+    verdict tally (per-partition rule_breakdown / n_errors) must match the
+    uncapped run exactly via the rulecount overflow accounting rows."""
+    capped = run(bad_dir, reference_hists, violation_row_cap=2)
+    full = bad_result
+
+    def tallies(res):
+        import json
+
+        df = res.verdicts.to_pandas()
+        return {
+            r["partition"]: {
+                "n_errors": int(r["n_errors"]),
+                "n_warnings": int(r["n_warnings"]),
+                "rules": dict(sorted(json.loads(r["rule_breakdown"]).items())),
+            }
+            for _, r in df.iterrows()
+            if r["schema_ok"]
+        }
+
+    assert tallies(capped) == tallies(full)
+    # row payload is genuinely bounded: no (partition, rule) cell exceeds
+    # cap x n_batches, and the planted rules overflow at cap=2
+    assert len(capped.violations) < len(full.violations)
+    # capped sample rows are real violations (same columns/schema)
+    assert capped.violations.schema.equals(full.violations.schema)

@@ -805,3 +805,20 @@ def test_docs_ttr_degenerate_split_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_words"] == 3 and out.loc[2, "n_types"] == 3
     assert out.loc[3, "ttr_bp"] == 10000
     assert out.loc[6, "n_words"] == 4 and out.loc[6, "n_types"] == 1
+
+
+def test_wau_and_retention_exchange_paths_match_driver(ray_session, monkeypatch):
+    """Force the raw-Ray bucketed exchange (driver_max_rows=0) for the two
+    day-window queries and require bit-identical output to the (oracle-
+    checked) driver reduce — multi-bucket summing of per-day partials is the
+    part sf0.01 parity alone doesn't exercise."""
+    from seronet_data_validator_ray.functions import dedup
+    from seronet_data_validator_ray.pipelines.table_queries import events_retention, events_wau
+
+    small_w = events_wau(SF).to_pandas()
+    small_r = events_retention(SF).to_pandas()
+    monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
+    big_w = events_wau(SF).to_pandas()
+    big_r = events_retention(SF).to_pandas()
+    assert small_w.equals(big_w)
+    assert small_r.equals(big_r)

@@ -186,6 +186,7 @@ QUERY_NAMES = [
     "top_suppliers_per_nation",
     "orders_median_by_priority",
     "events_wau",
+    "events_impute",
 ]
 
 

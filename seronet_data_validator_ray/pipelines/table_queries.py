@@ -2329,3 +2329,78 @@ def events_wau(sf_dir: str) -> pa.Table:
             "wau": pa.array(g["n_sum"].to_numpy(zero_copy_only=False)[mask], type=pa.int64()),
         }
     ).sort_by("day")
+
+
+# ------------------------------------------------------------ mean imputation
+
+_IMPUTE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS mean_c FROM c
+)
+SELECT c.event_id, c.event_type,
+       COALESCE(c.cents, m.mean_c) AS cents_filled,
+       (c.cents IS NULL) AS was_imputed
+FROM c CROSS JOIN m
+"""
+
+
+@query("events_impute", _IMPUTE_SQL)
+def events_impute(sf_dir: str) -> pa.Table:
+    """Mean imputation (feature-prep repair): amounts on 'error' events are
+    declared invalid (the derived-null business rule — the fixture has no
+    physical NULLs) and filled with the global floor-mean of the valid cents.
+    Two-phase broadcast plan like events_minmax_scale: pass 1 reduces each
+    batch to one (sum, count) row, the exact mean is one arbitrary-precision
+    driver division, pass 2 re-streams and fills — both passes shuffle-free.
+    ≙ the reference's repair-adjacent flows (typo normalizer M21, missing-key
+    population, File_Submission_Object.py:812) generalized to numeric fill."""
+    import numpy as np
+    import ray
+
+    def sums(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        valid = pc.not_equal(sub["event_type"], "error")
+        vv = sub.filter(valid)
+        cents = _cents(vv["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], type=pa.int64()),
+                "n": pa.array([len(cents)], type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            sums, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    total_s = sum(partials["s"].to_pylist())  # Python ints: exact at any scale
+    total_n = sum(partials["n"].to_pylist())
+    mean_c = total_s // total_n  # floor division matches DuckDB //
+    mean_ref = ray.put(int(mean_c))
+
+    def fill(batch: pa.Table, ref=mean_ref) -> pa.Table:
+        m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sub = batch.filter(pc.is_valid(batch["value"]))
+        is_err = pc.equal(sub["event_type"], "error").to_numpy(zero_copy_only=False)
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False).copy()
+        cents[is_err] = m
+        return pa.table(
+            {
+                "event_id": sub["event_id"],
+                "event_type": sub["event_type"],
+                "cents_filled": pa.array(cents, type=pa.int64()),
+                "was_imputed": pa.array(is_err, type=pa.bool_()),
+            }
+        )
+
+    return _ds_table(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]).map_batches(
+            fill, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )

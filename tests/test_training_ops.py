@@ -822,3 +822,34 @@ def test_wau_and_retention_exchange_paths_match_driver(ray_session, monkeypatch)
     big_r = events_retention(SF).to_pandas()
     assert small_w.equals(big_w)
     assert small_r.equals(big_r)
+
+
+def test_group_median_degenerate_distributions(ray_session, tmp_path):
+    """percentile_disc(0.5) rank rule (sorted[(n-1)//2]) on single-row,
+    all-equal, even- and odd-count groups."""
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.pipelines.table_queries import orders_median_by_priority
+
+    groups = {
+        "solo": [7.00],
+        "equal": [3.00, 3.00, 3.00, 3.00],
+        "even": [1.00, 2.00, 3.00, 4.00],
+        "odd": [10.0, 30.0, 20.0, 50.0, 40.0],
+    }
+    rows = [(p, v) for p, vs in groups.items() for v in vs]
+    t = pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], type=pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "orders.parquet"))
+    out = orders_median_by_priority(str(tmp_path)).to_pandas().set_index("o_orderpriority")
+    expect = {
+        p: sorted(int(round(v * 100)) for v in vs)[(len(vs) - 1) // 2]
+        for p, vs in groups.items()
+    }
+    for p, med in expect.items():
+        assert out.loc[p, "median_cents"] == med, (p, out.loc[p].to_dict())
+        assert out.loc[p, "n"] == len(groups[p])

@@ -81,3 +81,43 @@ def test_register_kernel_and_unknown_kind_error(ray_session):
             kernels.register_kernel("bad", None)
     finally:
         kernels.KERNELS.pop("always_fail_test", None)
+
+
+def test_violation_cap_multi_partition_batch_accounting():
+    """Direct evaluator check for the overflow path on a batch spanning
+    partitions (file-per-partition reads never produce one, so the
+    per-partition extra accounting is otherwise untested): sample rows +
+    rulecount extras must reconstruct the exact per-partition tallies."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.rules.spec import RuleSpec
+    from seronet_data_validator_ray.stages.evaluate import RuleEvaluator
+
+    # 10 rows: partitions alternate a,b; every row violates not_null on col x
+    n = 10
+    batch = pa.table(
+        {
+            "partition": pa.array(["a", "b"] * (n // 2)),
+            "row_index": pa.array(np.arange(n, dtype=np.int64)),
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "x": pa.array([None] * n, type=pa.string()),
+        }
+    )
+    rules = [RuleSpec(rule_id="x.not_null", column="x", kind="not_null")]
+    cap = 3
+    out = RuleEvaluator(rules, key_column="doc_id", violation_row_cap=cap)(batch)
+    viol = out.filter(pa.compute.equal(out["kind"], "violation"))
+    rc = out.filter(pa.compute.equal(out["kind"], "rulecount"))
+    assert len(viol) == cap
+    # exact reconstruction: sampled-per-partition + extra-per-partition == 5/5
+    totals = {"a": 0, "b": 0}
+    for p in viol["partition"].to_pylist():
+        totals[p] += 1
+    for p, extra in zip(rc["partition"].to_pylist(), rc["n_rows"].to_pylist()):
+        totals[p] += extra
+    assert totals == {"a": 5, "b": 5}
+    # uncapped run emits all 10 and no rulecount rows
+    out2 = RuleEvaluator(rules, key_column="doc_id")(batch)
+    assert len(out2.filter(pa.compute.equal(out2["kind"], "violation"))) == n
+    assert len(out2.filter(pa.compute.equal(out2["kind"], "rulecount"))) == 0

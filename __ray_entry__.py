@@ -80,6 +80,7 @@ def entry() -> Any:
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "events_anomaly",
+    "media_resize",
     "events_impute",
     "events_wau",
     "top_suppliers_per_nation",

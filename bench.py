@@ -187,6 +187,7 @@ QUERY_NAMES = [
     "orders_median_by_priority",
     "events_wau",
     "events_impute",
+    "media_resize",
 ]
 
 

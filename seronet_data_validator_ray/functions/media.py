@@ -161,3 +161,77 @@ def media_frames(sf_dir: str) -> pa.Table:
         sample_frames_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
     )
     return ds_to_table(frames)
+
+
+class MediaResizer:
+    """Actor-pool resize stage (binary -> binary): nearest-neighbor
+    downsample to fit 32x32, payload re-encoded under the same fake header.
+    Same stub seam as MediaDecoder — a real image lib replaces _resize only;
+    the schema, actor init, and byte-budget math are the deployable parts."""
+
+    MAX_W = 32
+    MAX_H = 32
+
+    def __init__(self, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "real resize needs an image codec (PIL) — not in this container"
+            )
+        self._codec = "fake-v1"
+
+    def _resize(self, payload: bytes):
+        assert payload[:8] == _MAGIC, "bad media payload"
+        w, h, frames = struct.unpack("<III", payload[8:20])
+        body = payload[20:]
+        w2, h2 = min(w, self.MAX_W), min(h, self.MAX_H)
+        nraw = len(body)
+        out_len = (nraw * w2 * h2) // (w * h)
+        # nearest-neighbor byte sampling (the 1-D analog of NN pixel resize)
+        if out_len > 0:
+            idx = (np.arange(out_len, dtype=np.int64) * nraw) // out_len
+            sampled = bytes(np.frombuffer(body, dtype=np.uint8)[idx])
+        else:
+            sampled = b""
+        return w2, h2, frames, _MAGIC + struct.pack("<III", w2, h2, frames) + sampled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "width_out": [], "height_out": [], "payload": []}
+        for doc_id, payload in zip(ids, batch["payload"].to_pylist()):
+            w2, h2, _frames, resized = self._resize(payload)
+            out["doc_id"].append(int(doc_id))
+            out["width_out"].append(w2)
+            out["height_out"].append(h2)
+            out["payload"].append(resized)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "width_out": pa.array(out["width_out"], type=pa.int64()),
+                "height_out": pa.array(out["height_out"], type=pa.int64()),
+                "payload": pa.array(out["payload"], type=pa.binary()),
+                "n_bytes_out": pa.array([len(p) for p in out["payload"]], type=pa.int64()),
+            }
+        )
+
+
+def media_resize(sf_dir: str) -> pa.Table:
+    """documents -> fake media -> actor-pool resize -> output metadata (the
+    resized binary is dropped before the result table, as a real pipeline
+    would write it to a binary sink instead). The output dims and byte
+    budget are pure integer functions of the input dims, so a DuckDB oracle
+    checks them end-to-end even though SQL never sees the payload."""
+    import ray.data
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+    resized = media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"real": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+    )
+    return ds_to_table(resized.drop_columns(["payload"]))

@@ -1666,3 +1666,33 @@ def docs_ttr(sf_dir: str) -> pa.Table:
             ttr, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+# ------------------------------------------------------------ media resize
+
+_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         16 + octet_length(encode(text)) % 64 AS w,
+         16 + (octet_length(encode(text)) * 7) % 64 AS h,
+         octet_length(encode(text)) AS nraw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(least(w, 32) AS BIGINT) AS width_out,
+       CAST(least(h, 32) AS BIGINT) AS height_out,
+       CAST(20 + (nraw * least(w, 32) * least(h, 32)) // (w * h) AS BIGINT) AS n_bytes_out
+FROM m
+"""
+
+
+@query("media_resize", _RESIZE_SQL)
+def media_resize(sf_dir: str) -> pa.Table:
+    """Actor-pool binary->binary resize (the fourth multimodal verb next to
+    decode / feature-extract / frame-sample). The fake encoder's dims and the
+    resize byte budget are integer functions of the utf8 byte length, so the
+    DuckDB oracle verifies the metadata end-to-end; the sampled payload bytes
+    are covered by the Python-reference test in tests/test_training_ops.py."""
+    from seronet_data_validator_ray.functions import media
+
+    return media.media_resize(sf_dir)

@@ -853,3 +853,35 @@ def test_group_median_degenerate_distributions(ray_session, tmp_path):
     for p, med in expect.items():
         assert out.loc[p, "median_cents"] == med, (p, out.loc[p].to_dict())
         assert out.loc[p, "n"] == len(groups[p])
+
+
+def test_media_resize_payload_reference():
+    """Byte-exact check of the nearest-neighbor byte sampling against a
+    straightforward Python reference (the part the SQL metadata oracle
+    cannot see)."""
+    import struct
+
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.media import (
+        _MAGIC,
+        MediaResizer,
+        encode_fake_media_batch,
+    )
+
+    texts = ["hello world", "x" * 200, "a", "The quick brown fox jumps over the lazy dog"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    media = encode_fake_media_batch(batch)
+    out = MediaResizer()(media)
+    for payload, resized in zip(media["payload"].to_pylist(), out["payload"].to_pylist()):
+        w, h, frames = struct.unpack("<III", payload[8:20])
+        body = payload[20:]
+        w2, h2 = min(w, 32), min(h, 32)
+        out_len = (len(body) * w2 * h2) // (w * h)
+        expect = bytes(body[(i * len(body)) // out_len] for i in range(out_len))
+        assert resized == _MAGIC + struct.pack("<III", w2, h2, frames) + expect

@@ -80,6 +80,7 @@ def entry() -> Any:
 _VERIFY_FIRST = [
     # round-3 additions (no external row yet)
     "events_anomaly",
+    "orders_yoy",
     "media_resize",
     "events_impute",
     "events_wau",

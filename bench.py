@@ -188,6 +188,7 @@ QUERY_NAMES = [
     "events_wau",
     "events_impute",
     "media_resize",
+    "orders_yoy",
 ]
 
 

@@ -2404,3 +2404,73 @@ def events_impute(sf_dir: str) -> pa.Table:
             fill, batch_format="pyarrow", zero_copy_batch=True
         )
     )
+
+
+# --------------------------------------------------------- year-over-year lag
+
+_YOY_SQL = """
+WITH y AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY 1
+)
+SELECT yr, n, total_cents,
+       CAST(total_cents - LAG(total_cents) OVER (ORDER BY yr) AS BIGINT) AS delta_cents
+FROM y
+"""
+
+
+@query("orders_yoy", _YOY_SQL)
+def orders_yoy(sf_dir: str) -> pa.Table:
+    """Year-over-year totals with LAG delta — the window-over-aggregate
+    composite: per-batch (year, n, cents) combiners (a handful of rows per
+    block, no shuffle), one driver Arrow group_by merge, then the lag is a
+    vectorized diff over the year-sorted totals. Driver state is
+    year-cardinality bounded at any corpus size."""
+    import numpy as np
+
+    def per_year(batch: pa.Table) -> pa.Table:
+        yr = (
+            batch["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(yr, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "yr": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "total_cents": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+            per_year, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = (
+        partials.group_by("yr")
+        .aggregate([("n", "sum"), ("total_cents", "sum")])
+        .rename_columns(["yr", "n", "total_cents"])
+        .sort_by("yr")
+    )
+    tot = g["total_cents"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "yr": g["yr"],
+            "n": g["n"],
+            "total_cents": g["total_cents"],
+            "delta_cents": pc.cast(
+                pa.array([None if i == 0 else int(tot[i] - tot[i - 1]) for i in range(len(tot))]),
+                pa.int64(),
+            ),
+        }
+    )

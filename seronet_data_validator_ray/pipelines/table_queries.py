@@ -357,30 +357,46 @@ FROM lineitem
 """,
 )
 def stats_lineitem(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """Global 6-scalar summary: ONE map_batches combiner emits one partial
+    row per block (count/sum/min/max are all associative), and the driver
+    folds the block-count-sized partial table — no Ray aggregate machinery
+    for a single-row result."""
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "qty": _cents(batch["l_quantity"], 1.0),
-                "price_cents": _cents(batch["l_extendedprice"]),
-                "price": batch["l_extendedprice"],
-                "disc_bp": _cents(batch["l_discount"], 10000.0),
-            }
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = _cents(batch["l_quantity"], 1.0)
+        price_cents = _cents(batch["l_extendedprice"])
+        disc_bp = _cents(batch["l_discount"], 10000.0)
+        price = batch["l_extendedprice"]
+        return pa.Table.from_pylist(
+            [
+                {
+                    "n": len(batch),
+                    "sum_qty": pc.sum(qty).as_py() or 0,
+                    "sum_price_cents": pc.sum(price_cents).as_py() or 0,
+                    "min_price": pc.min(price).as_py(),
+                    "max_price": pc.max(price).as_py(),
+                    "sum_disc_bp": pc.sum(disc_bp).as_py() or 0,
+                }
+            ]
         )
 
-    ds = _read(
-        sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"]
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    row = ds.aggregate(
-        Count(alias_name="n"),
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="sum_price_cents"),
-        Min("price", alias_name="min_price"),
-        Max("price", alias_name="max_price"),
-        Sum("disc_bp", alias_name="sum_disc_bp"),
+    parts = _ds_table(
+        _read(
+            sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return pa.Table.from_pylist([row])
+    return pa.Table.from_pylist(
+        [
+            {
+                "n": pc.sum(parts["n"]).as_py() or 0,
+                "sum_qty": pc.sum(parts["sum_qty"]).as_py() or 0,
+                "sum_price_cents": pc.sum(parts["sum_price_cents"]).as_py() or 0,
+                "min_price": pc.min(parts["min_price"]).as_py(),
+                "max_price": pc.max(parts["max_price"]).as_py(),
+                "sum_disc_bp": pc.sum(parts["sum_disc_bp"]).as_py() or 0,
+            }
+        ]
+    )
 
 
 @query(
@@ -393,31 +409,55 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
 )
 def pricing_summary(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count, Sum
+    """TPC-H Q1 shape, but the group domain is ~6 cells (returnflag x
+    linestatus) — a distributed groupby shuffle is pure overhead at any
+    scale. ONE map_batches combiner pass emits at most 6 partial rows per
+    block (key, n, sum_qty, sum_price_cents); the merged partials (blocks x 6
+    rows total) are folded on the driver with a pyarrow group_by. No
+    all-to-all exchange, no Ray aggregate machinery."""
+    import numpy as np
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = np.asarray(batch["l_returnflag"].to_numpy(zero_copy_only=False), dtype=object)
+        ls = np.asarray(batch["l_linestatus"].to_numpy(zero_copy_only=False), dtype=object)
+        qty = _cents(batch["l_quantity"], 1.0).to_numpy(zero_copy_only=False)
+        price = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(rf + "\x1f" + ls, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        sp = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sp, inv, price)
+        keys = [k.split("\x1f") for k in uniq]
         return pa.table(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": _cents(batch["l_quantity"], 1.0),
-                "price_cents": _cents(batch["l_extendedprice"]),
+                "l_returnflag": pa.array([k[0] for k in keys], type=pa.string()),
+                "l_linestatus": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "sum_qty": pa.array(sq, type=pa.int64()),
+                "sum_price_cents": pa.array(sp, type=pa.int64()),
             }
         )
 
-    ds = (
-        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-        )
+    parts = _ds_table(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return _ds_table(ds).select(
-        ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_cents"]
+    merged = parts.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("n", "sum"), ("sum_qty", "sum"), ("sum_price_cents", "sum")]
     )
+    merged = merged.rename_columns(
+        [
+            {"n_sum": "n", "sum_qty_sum": "sum_qty", "sum_price_cents_sum": "sum_price_cents"}.get(
+                c, c
+            )
+            for c in merged.column_names
+        ]
+    )
+    return merged.select(["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_cents"])
 
 
 @query(
@@ -836,20 +876,50 @@ FROM events GROUP BY event_type
 """,
 )
 def events_json_k(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count, Sum
+    """JSON field extraction + GROUP BY event_type. The group domain is the
+    handful of event types, so the aggregate is a per-batch combiner (regex
+    extract stays vectorized pc, partials are <= n_types rows per block)
+    merged on the driver — no distributed groupby for a ~6-cell result."""
+    import numpy as np
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         ext = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
-        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
-        return pa.table({"event_type": batch["event_type"], "k": k})
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64()).to_numpy(zero_copy_only=False)
+        types = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        uniq, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        valid = ~np.isnan(k)
+        sk = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sk, inv[valid], k[valid].astype(np.int64))
+        nv = np.bincount(inv[valid], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "sum_k": pa.array(sk, type=pa.int64()),
+                "n_valid": pa.array(nv, type=pa.int64()),
+            }
+        )
 
-    ds = (
-        _read(sf_dir, "events", columns=["event_type", "props"])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    parts = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    return _ds_table(ds).select(["event_type", "n", "sum_k"])
+    merged = parts.group_by("event_type").aggregate(
+        [("n", "sum"), ("sum_k", "sum"), ("n_valid", "sum")]
+    )
+    merged = merged.rename_columns(
+        [
+            {"n_sum": "n", "sum_k_sum": "sum_k", "n_valid_sum": "n_valid"}.get(c, c)
+            for c in merged.column_names
+        ]
+    )
+    # SQL SUM over an all-NULL group is NULL, not 0
+    sum_k = pc.if_else(pc.greater(merged["n_valid"], 0), merged["sum_k"], pa.scalar(None, pa.int64()))
+    return pa.table(
+        {"event_type": merged["event_type"], "n": merged["n"], "sum_k": sum_k}
+    )
 
 
 # --------------------------------------------------------------- date rules / sessions / join

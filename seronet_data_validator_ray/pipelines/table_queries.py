@@ -1321,67 +1321,87 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-@query("events_asof_join", _ASOF_SQL)
-def events_asof_join(sf_dir: str) -> pa.Table:
-    """As-of join — an operator Ray Data lacks, composed per the custom-op
-    recipe (SURVEY task list): hash-partition both sides by the key in ONE
-    groupby(user) shuffle, then a vectorized sorted searchsorted merge per
-    group. Each 'purchase' matches the latest 'click' by the same user at or
-    before its timestamp (inner: unmatched purchases drop).
-
-    Partitioning assumption: all events of one user fit one group (true for
-    per-user event streams; salt by time range if a key is pathological)."""
+def _asof_reduce(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """Per-bucket as-of merge, vectorized across EVERY user in the bucket at
+    once (no per-group Python callback): lexsort all rows by (user, ts,
+    click-before-purchase), turn click positions into a running maximum, and
+    each purchase's match is the last click index at or before it — valid iff
+    that click belongs to the same user (a stale index from the previous user
+    segment fails the user-equality check, which is exactly the no-match
+    case). O(n log n) per bucket regardless of per-user skew."""
     import numpy as np
 
-    def prep(batch: pa.Table) -> pa.Table:
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("click_id", pa.int64()),
+            ("click_ts_us", pa.int64()),
+        ]
+    )
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables(parts)
+    user = t["bkey"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    is_p = t["is_purchase"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((is_p, ts, user))  # clicks sort before purchases on ts ties (>= matches)
+    u_s, ts_s, id_s, p_s = user[order], ts[order], eid[order], is_p[order]
+    idx = np.arange(len(u_s), dtype=np.int64)
+    last_click = np.maximum.accumulate(np.where(~p_s, idx, -1))
+    pur = np.flatnonzero(p_s)
+    match = last_click[pur]
+    ok = (match >= 0) & (u_s[match] == u_s[pur])
+    pur, match = pur[ok], match[ok]
+    return pa.table(
+        {
+            "event_id": pa.array(id_s[pur], type=pa.int64()),
+            "ts_us": pa.array(ts_s[pur], type=pa.int64()),
+            "click_id": pa.array(id_s[match], type=pa.int64()),
+            "click_ts_us": pa.array(ts_s[match], type=pa.int64()),
+        }
+    )
+
+
+@query("events_asof_join", _ASOF_SQL)
+def events_asof_join(sf_dir: str, driver_max_rows: int | None = None) -> pa.Table:
+    """As-of join — an operator Ray Data lacks, composed per the custom-op
+    recipe: per-batch filter+project to 25 B rows (bkey=user, ts, id, side
+    bit), then the SAME user-hash bucketed raw-Ray exchange the sessionize /
+    wau / retention family uses (no Dataset groupby, no per-group Python),
+    with the fully vectorized segmented merge in ``_asof_reduce``.
+
+    Partitioning assumption: one USER's rows meet in one reducer (hash of
+    user routes both sides together); a bucket holds many users and the
+    reducer is O(n log n) in bucket rows, so a pathological hot user degrades
+    gracefully instead of quadratically. ``driver_max_rows=0`` forces the
+    exchange path (parity-tested against the driver path)."""
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    def emit(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["event_type"], pa.array(["purchase", "click"]))
         b = batch.filter(keep)
         return pa.table(
             {
-                "event_id": b["event_id"],
-                "user_id": b["user_id"],
-                "event_type": b["event_type"],
+                "bkey": pc.cast(b["user_id"], pa.int64()),
                 "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "is_purchase": pc.equal(b["event_type"], "purchase"),
             }
         )
 
-    def asof_group(g: pa.Table) -> pa.Table:
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        ts = g["ts_us"].to_numpy(zero_copy_only=False)
-        eid = g["event_id"].to_numpy(zero_copy_only=False)
-        is_p = et == "purchase"
-        is_c = et == "click"
-        if not is_p.any() or not is_c.any():
-            return pa.table(
-                {
-                    "event_id": pa.array([], type=pa.int64()),
-                    "ts_us": pa.array([], type=pa.int64()),
-                    "click_id": pa.array([], type=pa.int64()),
-                    "click_ts_us": pa.array([], type=pa.int64()),
-                }
-            )
-        c_order = np.argsort(ts[is_c], kind="stable")
-        c_ts = ts[is_c][c_order]
-        c_id = eid[is_c][c_order]
-        p_ts, p_id = ts[is_p], eid[is_p]
-        pos = np.searchsorted(c_ts, p_ts, side="right") - 1
-        ok = pos >= 0
-        return pa.table(
-            {
-                "event_id": pa.array(p_id[ok], type=pa.int64()),
-                "ts_us": pa.array(p_ts[ok], type=pa.int64()),
-                "click_id": pa.array(c_id[pos[ok]], type=pa.int64()),
-                "click_ts_us": pa.array(c_ts[pos[ok]], type=pa.int64()),
-            }
-        )
-
-    ds = (
-        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(asof_group, batch_format="pyarrow")
+    out = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _asof_reduce,
+        driver_max_rows=driver_max_rows,
+        distinct_output=False,  # each purchase reduces in exactly one bucket
     )
-    return _ds_table(ds)
+    return out
 
 
 # --------------------------------------------------------------- band join (custom operator)

@@ -824,6 +824,25 @@ def test_wau_and_retention_exchange_paths_match_driver(ray_session, monkeypatch)
     assert small_r.equals(big_r)
 
 
+def test_asof_join_exchange_path_matches_driver(ray_session):
+    """events_asof_join through the forced user-hash bucketed exchange
+    (driver_max_rows=0) must equal the driver-reduce path row-for-row —
+    the multi-bucket routing (both sides of one user meeting in one
+    reducer) is what sf0.01 driver-path parity alone doesn't exercise."""
+    from seronet_data_validator_ray.pipelines.table_queries import events_asof_join
+
+    cols = ["event_id", "ts_us", "click_id", "click_ts_us"]
+    small = events_asof_join(SF).to_pandas().sort_values(cols).reset_index(drop=True)
+    big = (
+        events_asof_join(SF, driver_max_rows=0)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(small) > 0
+    assert small.equals(big)
+
+
 def test_group_median_degenerate_distributions(ray_session, tmp_path):
     """percentile_disc(0.5) rank rule (sorted[(n-1)//2]) on single-row,
     all-equal, even- and odd-count groups."""

@@ -2,8 +2,8 @@
 iterative-algorithm family (semantic clustering / semantic-dedup bucketing
 for corpus curation).
 
-Unlike ann._kmeans_fit (a driver-side fit on a bounded SAMPLE, used only to
-route IVF probes), this runs exact Lloyd iterations over the FULL dataset:
+This is also the fit behind the IVF index build (ann._fit_centroids runs it
+with init='hash' on a bounded unbiased hash-sample). Over the FULL dataset:
 
 - init: the K vectors with the globally smallest vec_id (deterministic under
   any partitioning; found with a per-batch partial min-K + tiny driver merge,
@@ -44,11 +44,24 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _init_partial(batch: pa.Table, k: int) -> pa.Table:
+def _init_rank(ids: np.ndarray, init: str) -> np.ndarray:
+    """Ranking key for the deterministic init. ``vec_id``: the K globally
+    smallest ids (embedding_kmeans' published semantics). ``hash``:
+    splitmix64(vec_id) — the K smallest hashes are a UNIFORM pseudo-random
+    K-subset of the corpus, deterministic and partitioning-invariant, with
+    no first-rows/sorted-input bias (the IVF build uses this)."""
+    if init == "hash":
+        from seronet_data_validator_ray.functions.dedup import _mix64
+
+        return _mix64(ids.view(np.uint64))  # argsort on uint64 ranks correctly
+    return ids
+
+
+def _init_partial(batch: pa.Table, k: int, init: str = "vec_id") -> pa.Table:
     """Per-batch candidates for the deterministic init: the batch's k
-    smallest vec_ids with their packed normalized vectors."""
+    smallest-ranked rows with their packed normalized vectors."""
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    take = np.argsort(ids, kind="stable")[:k]
+    take = np.argsort(_init_rank(ids, init), kind="stable")[:k]
     vecs = _norm_rows(_stack(batch))[take]
     return pa.table(
         {
@@ -88,20 +101,24 @@ def _assign_batch(batch: pa.Table, cents: np.ndarray) -> pa.Table:
     )
 
 
-def kmeans_fit(ds, k: int = KM_K, iters: int = KM_ITERS) -> np.ndarray:
+def kmeans_fit(ds, k: int = KM_K, iters: int = KM_ITERS, init: str = "vec_id") -> np.ndarray:
     """Exact distributed Lloyd over the full Dataset; returns the final
-    rounded centroid matrix (k x d)."""
+    rounded centroid matrix (k x d). ``init='hash'`` seeds from the K
+    smallest splitmix64(vec_id) rows (uniform, sorted-input-safe)."""
     from seronet_data_validator_ray.util import ds_to_table
 
-    init = ds_to_table(
+    init_tbl = ds_to_table(
         ds.map_batches(
-            _init_partial, fn_kwargs={"k": k}, batch_format="pyarrow", zero_copy_batch=True
+            _init_partial,
+            fn_kwargs={"k": k, "init": init},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     )
-    ids = init["vec_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")[:k]
+    ids = init_tbl["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(_init_rank(ids.astype(np.int64), init), kind="stable")[:k]
     cents = np.stack(
-        [np.frombuffer(init["v"][int(i)].as_py(), dtype=np.float64) for i in order]
+        [np.frombuffer(init_tbl["v"][int(i)].as_py(), dtype=np.float64) for i in order]
     )
     cents = np.round(cents, 6)
 

@@ -209,6 +209,67 @@ def test_cosine_near_dup_ivf_recall(ray_session):
     assert len(a) / len(e) >= 0.6, f"recall too low: {len(a)}/{len(e)}"
 
 
+def test_cosine_ivf_exchange_and_salting_match_driver(ray_session):
+    """cosine_near_dup_ivf through the forced bucketed exchange with tiny
+    hot_rows (every IVF bucket salted over shard-pair subtasks) must emit
+    the IDENTICAL pair set as the driver-reduce path — the shard-pair grid
+    covers every within-bucket pair exactly once."""
+    from seronet_data_validator_ray.functions import ann
+
+    base = ann.cosine_near_dup_ivf(SF).to_pandas()
+    salted = ann.cosine_near_dup_ivf(SF, driver_max_rows=0, hot_rows=16).to_pandas()
+    assert len(base) > 0
+    cols = list(base.columns)
+    assert base.sort_values(cols).reset_index(drop=True).equals(
+        salted.sort_values(cols).reset_index(drop=True)
+    )
+
+
+def test_ivf_buckets_bounded_on_clustered_sorted_input(ray_session, tmp_path):
+    """The IVF build must not degenerate on a cluster-SORTED file (the case
+    that breaks first-rows sampling: a fit that only ever saw cluster #0
+    routes everything to a handful of giant buckets). With the unbiased
+    hash-sample + hash-init combiner fit, centroids cover all clusters and
+    the max bucket stays within a small factor of the mean occupancy."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.functions import ann
+    from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 64, 32, 16
+    n = n_clusters * per
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(size=(n, dim))
+    # SORTED by cluster — the adversarial layout for first-rows sampling
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(["x"] * n),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+
+    k, cents = ann._fit_centroids(str(tmp_path))
+    assert k == ann._ivf_k(n)
+    import ray
+
+    cents_ref = ray.put({"cents": cents})
+    emitted = ann._ivf_bucket_emit(t, cents_ref=cents_ref)
+    bkey = emitted["bkey"].to_numpy(zero_copy_only=False)
+    sizes = np.bincount(bkey, minlength=k)
+    mean_occ = n * ann.IVF_NPROBE / k
+    assert sizes.max() <= 8 * mean_occ, (
+        f"hot bucket {sizes.max()} vs mean {mean_occ:.0f} — fit collapsed"
+    )
+
+
 def test_group_quantiles_accuracy(ray_session):
     """Per-group t-digest quantiles within 2% relative error of exact."""
     import duckdb

@@ -122,19 +122,22 @@ def media_features(sf_dir: str) -> pa.Table:
 
 def sample_frames_batch(batch: pa.Table) -> pa.Table:
     """Frame-sampling flat_map: one media row -> n_frames frame rows
-    (doc_id, frame_idx, frame_u). The fake 'frame' is a deterministic
-    digest of (body, frame_idx) — the real decoder slots into the same
-    row-expansion shape."""
-    ids, fidx, fu = [], [], []
+    (doc_id, frame_idx, width, height, frame_u). The fake 'frame' is a
+    deterministic digest of (body, frame_idx) — the real decoder slots into
+    the same row-expansion shape. Dims ride along so the expansion itself
+    (count + per-frame metadata) is oracle-checkable without the digest."""
+    ids, fidx, ws, hs, fu = [], [], [], [], []
     for doc_id, payload in zip(
         batch["doc_id"].to_numpy(zero_copy_only=False), batch["payload"].to_pylist()
     ):
         assert payload[:8] == _MAGIC
-        (_w, _h, frames) = struct.unpack("<III", payload[8:20])
+        (w, h, frames) = struct.unpack("<III", payload[8:20])
         body = payload[20:]
         for k in range(frames):
             ids.append(int(doc_id))
             fidx.append(k)
+            ws.append(w)
+            hs.append(h)
             fu.append(
                 int.from_bytes(
                     hashlib.blake2b(body + bytes([k]), digest_size=8).digest(), "little"
@@ -144,6 +147,8 @@ def sample_frames_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(ids, type=pa.int64()),
             "frame_idx": pa.array(fidx, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
             "frame_u": pa.array(fu, type=pa.int64()),
         }
     )

@@ -588,13 +588,32 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     return dedup.dedup_clusters(sf_dir)
 
 
-@query("media_frames", None)
+_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         16 + octet_length(encode(text)) % 64 AS w,
+         16 + (octet_length(encode(text)) * 7) % 64 AS h,
+         1 + octet_length(encode(text)) % 4 AS frames
+  FROM documents
+)
+SELECT m.doc_id,
+       CAST(unnest(generate_series(0, m.frames - 1)) AS BIGINT) AS frame_idx,
+       CAST(m.w AS BIGINT) AS width,
+       CAST(m.h AS BIGINT) AS height
+FROM m
+"""
+
+
+@query("media_frames", _FRAMES_SQL)
 def media_frames(sf_dir: str) -> pa.Table:
-    """Frame-sampling row expansion over the fake media column. Rows-only;
-    frame counts cross-checked against media_features in tests."""
+    """Frame-sampling row expansion over the fake media column. The expansion
+    (one row per frame, frame_idx 0..n-1, per-frame dims) is verified against
+    a DuckDB generate_series oracle; the frame digest column — the only
+    non-SQL-expressible part — is dropped here and covered by the uniqueness
+    test in tests/test_training_ops.py."""
     from seronet_data_validator_ray.functions import media
 
-    return media.media_frames(sf_dir)
+    return media.media_frames(sf_dir).drop_columns(["frame_u"])
 
 
 # ------------------------------------------------------------------ embedding quantization

@@ -132,10 +132,12 @@ def test_dedup_clusters_structure(ray_session):
 
 
 def test_media_frames_expansion(ray_session):
-    from seronet_data_validator_ray.functions import op_queries
+    from seronet_data_validator_ray.functions import media, op_queries
 
     feats = op_queries.media_features(SF).to_pandas()
-    frames = op_queries.media_frames(SF).to_pandas()
+    # library path keeps the frame digest; the registered query drops it
+    # (covered there by the generate_series oracle instead)
+    frames = media.media_frames(SF).to_pandas()
     # row expansion: total frames == sum of per-doc n_frames
     assert len(frames) == int(feats["n_frames"].sum())
     per_doc = frames.groupby("doc_id").size()

@@ -83,7 +83,7 @@ def _rule_violations(sf_dir: str, rules) -> pa.Table:
     from seronet_data_validator_ray.pipelines.validate import validate
 
     d = ensure_clinical(sf_dir)
-    res = validate(d, rules, file_glob="clinical.parquet")
+    res = validate(d, rules, file_glob="clinical.parquet", violation_row_cap=None)
     v = res.violations
     out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
     return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])

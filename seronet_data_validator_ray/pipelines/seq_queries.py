@@ -88,6 +88,8 @@ def _validated(sf_dir: str):
             sequences_rules(),
             expected_schema=SEQUENCES_SCHEMA,
             broadcast={"allowed_sources": SOURCES},
+            # exact-violation-list contract (DuckDB oracle compares rows)
+            violation_row_cap=None,
         )
     return _VALIDATE_CACHE[d]
 

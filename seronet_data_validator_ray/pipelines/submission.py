@@ -475,7 +475,8 @@ def validate_submission(
             output_dir=os.path.join(output_dir, "tables", name) if output_dir else None,
             resume=resume,
             file_glob=spec.file_glob,
-            **validate_kwargs,
+            # exact-violation-list contract (DuckDB oracle compares rows)
+            **{"violation_row_cap": None, **validate_kwargs},
         )
         results[name] = res
         v = res.violations

@@ -101,6 +101,8 @@ def docs_violations(sf_dir: str) -> pa.Table:
         ),
         broadcast={"allowed_doc_sources": _DOC_ALLOWED_SOURCES},
         file_glob="documents.parquet",
+        # exact-violation-list contract (DuckDB oracle compares rows)
+        violation_row_cap=None,
     )
     v = res.violations
     # row-local rules only (uniqueness reported separately; none planted here)
@@ -1224,7 +1226,7 @@ def part_rules(sf_dir: str) -> pa.Table:
             ),
         ],
     )
-    res = validate(sf_dir, rules, file_glob="part.parquet")
+    res = validate(sf_dir, rules, file_glob="part.parquet", violation_row_cap=None)
     v = res.violations
     out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
     return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])
@@ -1272,7 +1274,11 @@ def vocab_lookup_rules(sf_dir: str) -> pa.Table:
         ],
     )
     res = validate(
-        sf_dir, rules, file_glob="lineitem.parquet", broadcast={"part_keys": dictionary}
+        sf_dir,
+        rules,
+        file_glob="lineitem.parquet",
+        broadcast={"part_keys": dictionary},
+        violation_row_cap=None,
     )
     v = res.violations
     out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
@@ -1305,7 +1311,7 @@ def lineitem_cmp_rules(sf_dir: str) -> pa.Table:
             ),
         ],
     )
-    res = validate(sf_dir, rules, file_glob="lineitem.parquet")
+    res = validate(sf_dir, rules, file_glob="lineitem.parquet", violation_row_cap=None)
     v = res.violations
     out = v.select(["rule_id", "doc_id", "column", "observed", "severity"])
     return out.rename_columns(["rule_id", "doc_id", "column_name", "observed", "severity"])

@@ -56,6 +56,14 @@ from seronet_data_validator_ray.state.manifest import Manifest, fileset_hash, ru
 
 VIOLATION_SCHEMA = pa.schema([OUTCOME_SCHEMA.field(c) for c in VIOLATION_COLUMNS])
 
+# Default sampled-violation bound per (batch, rule, severity) cell. Well above
+# any legitimate fixture/plant cell count (dozens), well below the default
+# batch_size (8192), so ordinary runs keep their full row payload while an
+# every-row-fails input is bounded to ~12% of rows per rule; the rulecount
+# overflow rows keep verdict tallies exact either way (tested at
+# tests/test_pipeline.py::test_violation_row_cap_keeps_exact_tallies).
+DEFAULT_VIOLATION_ROW_CAP = 1024
+
 
 class AbortRun(RuntimeError):
     """Test hook: simulated crash between waves (resume fixture, FIXTURES.md §5)."""
@@ -165,10 +173,16 @@ def validate(
     drift_alpha: float = 0.01,
     not_validated_rule_id: str = "tokens.not_validated",
     max_not_validated_rows: int = 10_000,
-    violation_row_cap: int | None = None,
+    violation_row_cap: int | None = DEFAULT_VIOLATION_ROW_CAP,
     file_glob: str = "part-*.parquet",
 ) -> ValidationResult:
-    """Run the full validation pipeline. Ray must already be initialised."""
+    """Run the full validation pipeline. Ray must already be initialised.
+
+    `violation_row_cap` bounds the sampled violation rows per (batch, rule,
+    severity) cell — ON by default so a pathological every-row-fails input
+    cannot materialize row-count-sized tables driver-side; verdict tallies
+    stay exact via the rulecount overflow accounting rows. Pass None for the
+    uncapped (full row payload) behavior."""
     import ray
 
     t0 = time.perf_counter()

@@ -46,7 +46,8 @@ def test_custom_kernel_via_spec_end_to_end(ray_session):
         ],
         key_column="doc_id",
     )
-    res = validate(d, rules, expected_schema=SEQUENCES_SCHEMA)
+    # uncapped: this oracle counts exact violation ROWS, not tallies
+    res = validate(d, rules, expected_schema=SEQUENCES_SCHEMA, violation_row_cap=None)
     v = res.violations
     got = len(v.filter(pa.compute.equal(v["rule_id"], "tokens.even_count")))
     # oracle: count even-length token lists across the good files locally

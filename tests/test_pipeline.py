@@ -2,6 +2,8 @@
 (mirrors /root/reference/test_bad_submission.py's exact per-column error
 counts — see FIXTURES.md §3)."""
 
+import os
+
 import pyarrow.compute as pc
 import pytest
 
@@ -248,3 +250,39 @@ def test_violation_row_cap_keeps_exact_tallies(bad_dir, reference_hists, bad_res
     assert len(capped.violations) < len(full.violations)
     # capped sample rows are real violations (same columns/schema)
     assert capped.violations.schema.equals(full.violations.schema)
+
+
+def test_default_cap_bounds_every_row_fails(clean_dir):
+    """With NO cap argument, a pathological every-row-fails input must not
+    materialize a row-count-sized violation table driver-side, while the
+    verdict tallies still count every failing row exactly."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.pipelines.validate import DEFAULT_VIOLATION_ROW_CAP
+
+    d = "/tmp/svr_fixtures/allbad"
+    os.makedirs(d, exist_ok=True)
+    n_rows, n_files = 0, 0
+    for src in sorted(glob.glob(f"{clean_dir}/part-*.parquet")):
+        t = pq.read_table(src)
+        bad_src = pa.array(["__nope__"] * len(t), type=pa.string())
+        t = t.set_column(t.schema.get_field_index("source"), "source", bad_src)
+        pq.write_table(t, os.path.join(d, os.path.basename(src)))
+        n_rows += len(t)
+        n_files += 1
+    res = run(d)  # default arguments — the cap must be on by default
+    v = res.violations
+    ref_rows = v.filter(pc.equal(v["rule_id"], "source.referential"))
+    # bounded payload: at most cap rows per batch (each fixture file is well
+    # under one batch), far fewer than n_rows
+    assert len(ref_rows) < n_rows
+    assert len(ref_rows) <= DEFAULT_VIOLATION_ROW_CAP * n_files
+    # exact accounting: every failing row is still tallied in the verdicts
+    total = 0
+    for bd in res.verdicts["rule_breakdown"].to_pylist():
+        total += json.loads(bd).get("source.referential", 0)
+    assert total == n_rows

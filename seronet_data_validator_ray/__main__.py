@@ -36,6 +36,12 @@ def _init_ray(num_cpus: int | None):
         kwargs = {"address": address, "include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
+        elif num_cpus:
+            print(
+                f"warning: --cpus {num_cpus} ignored — RAY_ADDRESS={address!r} connects to "
+                "an existing cluster, which sizes itself",
+                file=sys.stderr,
+            )
         ray.init(**kwargs)
 
 
@@ -54,6 +60,9 @@ def cmd_validate(args) -> int:
         resume=args.resume,
         file_glob=args.glob,
     )
+    from seronet_data_validator_ray.report import write_summary_report
+
+    report_paths = write_summary_report(res, args.output)
     summary = {
         "n_violations": len(res.violations),
         "n_partitions": len(res.verdicts),
@@ -62,6 +71,7 @@ def cmd_validate(args) -> int:
         ),
         "metrics": res.metrics,
         "output_dir": args.output,
+        "report": report_paths,
     }
     print(json.dumps(summary, default=str))
     return 0

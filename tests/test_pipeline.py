@@ -179,6 +179,16 @@ def test_cli_validate_smoke(tmp_path):
 
     assert os.path.exists(os.path.join(out, "verdicts.parquet"))
     assert os.path.isdir(os.path.join(out, "manifest"))
+    # human-readable run report (≙ the reference's 7-sheet summary workbook)
+    md = open(summary["report"]["md"]).read()
+    assert "# Validation run summary" in md and "## Rule tallies" in md
+    assert "seq.unknown_source" in md or "source.referential" in md
+    import csv as _csv
+
+    with open(summary["report"]["csv"]) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == summary["n_partitions"]
+    assert sum(r["pass"] == "False" for r in rows) == summary["n_failed_partitions"]
 
 
 def test_drift_actor_pool_path_matches_inline(ray_session):

@@ -122,3 +122,72 @@ def test_violation_cap_multi_partition_batch_accounting():
     out2 = RuleEvaluator(rules, key_column="doc_id")(batch)
     assert len(out2.filter(pa.compute.equal(out2["kind"], "violation"))) == n
     assert len(out2.filter(pa.compute.equal(out2["kind"], "rulecount"))) == 0
+
+
+def test_in_dictionary_icd10_scale(ray_session, tmp_path):
+    """The worker-state dictionary kernel at realistic ICD-10 size: ~70k
+    string codes broadcast once, probed via searchsorted inside the fused
+    evaluator — flagged rows must match a Python-set oracle exactly.
+    (≙ check_icd10 over the 70k-entry code DB,
+    /root/reference/File_Submission_Object.py:576-583.)"""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.spec import RuleSet, RuleSpec
+
+    rng = np.random.default_rng(11)
+    # ICD-10-shaped codes: letter + 2 digits + '.' + 1-2 digits → ~70k distinct
+    letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    n_codes = 70_000
+    codes = np.unique(
+        np.char.add(
+            np.char.add(
+                letters[rng.integers(0, 26, n_codes * 2)],
+                np.char.zfill(rng.integers(0, 100, n_codes * 2).astype(str), 2),
+            ),
+            np.char.add(".", rng.integers(0, 100, n_codes * 2).astype(str)),
+        )
+    )[:n_codes]
+    assert len(codes) == n_codes
+    dictionary = np.sort(codes.astype(object))
+
+    # 20k rows: ~95% valid codes, ~5% unknown codes (prefix 'Z99.99x' style)
+    n_rows = 20_000
+    vals = codes[rng.integers(0, n_codes, n_rows)].astype(object)
+    bad_idx = rng.choice(n_rows, size=n_rows // 20, replace=False)
+    for i in bad_idx:
+        vals[i] = f"X__{int(i)}"  # never in the dictionary
+    d = tmp_path / "icd"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array([str(i) for i in range(n_rows)], type=pa.string()),
+                "code": pa.array(vals.tolist(), type=pa.string()),
+            }
+        ),
+        str(d / "part-codes-0000.parquet"),
+    )
+    rules = RuleSet(
+        name="icd",
+        key_column="row_id",
+        rules=[
+            RuleSpec(
+                "code.in_dictionary", "code", "in_dictionary", {"ref": "icd10"},
+                message="code not in the ICD-10 dictionary",
+            )
+        ],
+    )
+    res = validate(
+        str(d), rules, broadcast={"icd10": dictionary}, violation_row_cap=None
+    )
+    v = res.violations
+    flagged = set(v.filter(pa.compute.equal(v["rule_id"], "code.in_dictionary"))["doc_id"].to_pylist())
+    valid_set = set(dictionary.tolist())
+    want = {str(i) for i in range(n_rows) if vals[i] not in valid_set}
+    assert flagged == want
+    assert len(want) == n_rows // 20

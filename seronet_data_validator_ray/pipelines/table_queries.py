@@ -1566,6 +1566,7 @@ def events_minmax_scale(sf_dir: str) -> pa.Table:
 _RETENTION_SQL = """
 WITH a AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), c AS (
   SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
 )
@@ -1595,6 +1596,12 @@ def events_retention(sf_dir: str) -> pa.Table:
     DAY_US = 86_400_000_000
 
     def emit(batch: pa.Table) -> pa.Table:
+        # explicit null contract (mirrored in the oracle SQL): a null user_id
+        # silently promotes the int64 column to float64-with-NaN and corrupts
+        # the (user, day) dedup, so null user/ts rows are dropped up front
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        )
         user = batch["user_id"].to_numpy(zero_copy_only=False)
         day = (
             batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
@@ -1806,7 +1813,7 @@ def orders_percentile(sf_dir: str) -> pa.Table:
 _ANOMALY_SQL = """
 WITH c AS (
   SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), st AS (
   SELECT event_type,
          CAST(COUNT(*) AS HUGEINT) AS n,
@@ -1838,15 +1845,30 @@ def events_anomaly(sf_dir: str) -> pa.Table:
     import ray
 
     def moments(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_valid(batch["value"]))
+        # null contract mirrored in the oracle SQL: a null event_type would
+        # poison the object-dtype np.unique sort below
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
         cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
         types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
         uniq, inv = np.unique(types, return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         s = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(s, inv, cents)
+        # int64-safety gate for the sum-of-squares partial: the all-rows-at-max
+        # bound guarantees the np.add.at accumulation below cannot wrap. Beyond
+        # it (|value| > ~3e7 at default batch sizes) fail LOUDLY instead of
+        # silently diverging from the HUGEINT oracle on extreme values.
+        m = int(np.abs(cents).max()) if len(cents) else 0
+        if m and m * m * len(cents) >= 2**63:
+            raise OverflowError(
+                f"events_anomaly: |cents| up to {m} can overflow the int64 "
+                "sum-of-squares partial at this batch size; reduce batch_size "
+                "or rescale the value column"
+            )
         q = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(q, inv, cents * cents)  # cents^2 <= ~2.4e9; safe in int64 per batch
+        np.add.at(q, inv, cents * cents)
         return pa.table(
             {
                 "event_type": pa.array([str(u) for u in uniq], type=pa.string()),
@@ -1881,7 +1903,9 @@ def events_anomaly(sf_dir: str) -> pa.Table:
 
     def flag(batch: pa.Table, ref=st_ref) -> pa.Table:
         stl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        sub = batch.filter(pc.is_valid(batch["value"]))
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
         cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
         types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
         uniq, inv = np.unique(types, return_inverse=True)
@@ -2318,7 +2342,8 @@ def orders_median_by_priority(sf_dir: str) -> pa.Table:
 # ------------------------------------------------------- weekly active users
 
 _WAU_SQL = """
-WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 d AS (SELECT DISTINCT day FROM a)
 SELECT CAST(d.day AS VARCHAR) AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
 FROM d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
@@ -2344,6 +2369,12 @@ def events_wau(sf_dir: str) -> pa.Table:
     DAY_US = 86_400_000_000
 
     def emit(batch: pa.Table) -> pa.Table:
+        # explicit null contract (mirrored in the oracle SQL): a null user_id
+        # silently promotes the int64 column to float64-with-NaN and corrupts
+        # the (user, day) dedup, so null user/ts rows are dropped up front
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        )
         user = batch["user_id"].to_numpy(zero_copy_only=False)
         day = (
             batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
@@ -2434,7 +2465,7 @@ WITH c AS (
   SELECT event_id, event_type,
          CASE WHEN event_type = 'error' THEN NULL
               ELSE CAST(round(value * 100) AS BIGINT) END AS cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), m AS (
   SELECT CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS mean_c FROM c
 )
@@ -2459,7 +2490,11 @@ def events_impute(sf_dir: str) -> pa.Table:
     import ray
 
     def sums(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_valid(batch["value"]))
+        # null contract mirrored in the oracle SQL: null event_type would
+        # diverge (SQL CASE sends it to the ELSE branch, kleene filter drops)
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
         valid = pc.not_equal(sub["event_type"], "error")
         vv = sub.filter(valid)
         cents = _cents(vv["value"]).to_numpy(zero_copy_only=False)
@@ -2477,20 +2512,28 @@ def events_impute(sf_dir: str) -> pa.Table:
     )
     total_s = sum(partials["s"].to_pylist())  # Python ints: exact at any scale
     total_n = sum(partials["n"].to_pylist())
-    mean_c = total_s // total_n  # floor division matches DuckDB //
-    mean_ref = ray.put(int(mean_c))
+    # degenerate input (every valid-valued event is 'error'): the SQL mean is
+    # NULL and the imputed rows carry a NULL fill — mirror that, don't divide
+    mean_c = (total_s // total_n) if total_n else None  # floor div matches DuckDB //
+    mean_ref = ray.put(None if mean_c is None else int(mean_c))
 
     def fill(batch: pa.Table, ref=mean_ref) -> pa.Table:
         m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        sub = batch.filter(pc.is_valid(batch["value"]))
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
         is_err = pc.equal(sub["event_type"], "error").to_numpy(zero_copy_only=False)
         cents = _cents(sub["value"]).to_numpy(zero_copy_only=False).copy()
-        cents[is_err] = m
+        if m is None:
+            filled = pa.array(cents, type=pa.int64(), mask=is_err)
+        else:
+            cents[is_err] = m
+            filled = pa.array(cents, type=pa.int64())
         return pa.table(
             {
                 "event_id": sub["event_id"],
                 "event_type": sub["event_type"],
-                "cents_filled": pa.array(cents, type=pa.int64()),
+                "cents_filled": filled,
                 "was_imputed": pa.array(is_err, type=pa.bool_()),
             }
         )

@@ -967,3 +967,87 @@ def test_media_resize_payload_reference():
         out_len = (len(body) * w2 * h2) // (w * h)
         expect = bytes(body[(i * len(body)) // out_len] for i in range(out_len))
         assert resized == _MAGIC + struct.pack("<III", w2, h2, frames) + expect
+
+
+def test_events_null_contracts_match_oracle(ray_session, tmp_path):
+    """Null user_id/ts/event_type/value rows must follow the contract stated
+    in each oracle SQL (explicit IS NOT NULL filters) instead of silently
+    corrupting numpy dedup via NaN promotion — checked by running the actual
+    DuckDB oracle over a null-bearing events table."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.pipelines.table_queries import REGISTRY
+
+    n = 300
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    ts = [base + int(d) * 86_400_000_000 for d in rng.integers(0, 20, n)]
+    user = rng.integers(0, 12, n).tolist()
+    etype = rng.choice(["click", "view", "error"], n).astype(object)
+    value = rng.normal(50.0, 10.0, n).tolist()
+    # plant Arrow NULLs in every column the events queries touch
+    user[:7] = [None] * 7
+    etype[7:12] = None
+    value[12:18] = [None] * 6
+    ts = [None] * 4 + ts[4:]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(user, type=pa.int64()),
+            "event_type": pa.array(etype.tolist(), type=pa.string()),
+            "value": pa.array(value, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in ("events_wau", "events_retention", "events_anomaly", "events_impute"):
+        fn, sql = REGISTRY[name]
+        got = fn(str(tmp_path)).to_pandas()
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), name
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True).astype(a.dtypes.to_dict())
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+def test_events_impute_all_error_degenerate(ray_session, tmp_path):
+    """When every valid-valued event is 'error' the mean is undefined: the
+    engine must emit NULL cents_filled rows (was_imputed=true), exactly like
+    the SQL oracle — not raise ZeroDivisionError."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.pipelines.table_queries import REGISTRY
+
+    n = 50
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "event_type": pa.array(["error"] * n, type=pa.string()),
+            "value": pa.array(np.linspace(1.0, 9.0, n), type=pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    fn, sql = REGISTRY["events_impute"]
+    got = fn(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    assert got["was_imputed"].all()
+    assert got["cents_filled"].isna().all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(sql).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

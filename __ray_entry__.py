@@ -72,61 +72,75 @@ def entry() -> Any:
 
 # The external correctness gate checks the first 50 entries of queries() in
 # iteration order; the registry has grown past that window, so coverage is
-# rotated deliberately: queries never (or least recently) driver-verified go
-# FIRST, and the back of the list holds rows-only ops that carry dedicated
-# exact cross-checks in tests/ plus the longest-stable oracle queries (green
-# in both prior external runs AND re-verified every round by the local
-# oracle-parity test, tests/test_queries_oracle.py).
+# rotated deliberately (least-recently-verified first). Round-4 ordering:
+# (1) round-4 additions / newly oracle-paired queries (dedup_exact_digest,
+#     media_frames) — no oracle-paired external row yet;
+# (2) queries whose implementation or oracle SQL CHANGED this round
+#     (combiner rewrites, the asof-join exchange rebuild, the events null
+#     contracts) — their prior green rows no longer cover today's code;
+# (3) every oracle-paired query absent from the round-3 window (green in
+#     r1/r2, two-plus rounds stale);
+# (4) fill to 50 with the oldest single-green round-3 additions.
+# The back holds the rows-only ops (exact-counterpart cross-checks live in
+# tests/; the external gate would record only a weak rows-count row). The
+# middle (round-3-green oracle queries) and everything else are re-verified
+# every session by tests/test_queries_oracle.py with the same comparison.
+# Never externally rowed after this window: only the rows-only set.
 _VERIFY_FIRST = [
-    # round-3 additions (no external row yet)
-    "events_anomaly",
-    "orders_yoy",
-    "media_resize",
-    "events_impute",
+    # (1) round-4 additions / newly oracle-paired
+    "dedup_exact_digest",
+    "media_frames",
+    # (2) changed this round
+    "pricing_summary",
+    "stats_lineitem",
+    "events_json_k",
+    "events_asof_join",
+    "dedup_exact",
     "events_wau",
+    "events_retention",
+    "events_anomaly",
+    "events_impute",
+    # (3) oracle-paired, absent from the round-3 window
+    "top_orders",
+    "distinct_counts",
+    "events_hourly",
+    "customers_without_orders",
+    "orders_enriched",
+    "revenue_by_region",
+    "events_pivot",
+    "events_running_number",
+    "events_running_total",
+    "events_melt",
+    "distinct_users_per_type",
+    "top_orders_per_segment",
+    "events_sliding",
+    "events_date_rules",
+    "events_sessionize",
+    "order_total_consistency",
+    "part_rules",
+    "lineitem_cmp_rules",
+    "events_band_join",
+    "seq_violations",
+    "seq_dup_ids",
+    "seq_verdict_by_source",
+    "seq_stats_by_source",
+    "seq_token_hist",
+    "seq_source_mix",
+    "seq_split_clean",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "cosine_near_dup",
+    "knn_brute_force",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "top_bigrams",
+    # (4) single-green round-3 additions filling the window to 50
+    "media_resize",
+    "orders_yoy",
     "top_suppliers_per_nation",
     "orders_median_by_priority",
     "revenue_by_nation",
-    "customer_rfm",
-    "docs_ttr",
-    "seq_oov_rate",
-    "docs_chunk",
-    "docs_inverted_index",
-    "docs_lm_score",
-    "docs_heavy_hitters",
-    "docs_dedup_incremental",
-    "events_minmax_scale",
-    "events_retention",
-    "events_rollup",
-    "seq_shard_balance",
-    "orders_percentile",
-    "seq_drift",
-    "docs_dup_ngrams",
-    "docs_tfidf",
-    "seq_curriculum",
-    "docs_quality_filter",
-    "events_funnel",
-    "docs_decontaminate",
-    "docs_gopher_repetition",
-    "events_dedup_window",
-    "cross_group_rules",
-    "vocab_lookup_rules",
-    "events_sessionize_dist",
-    "dedup_minhash_lsh_salted",
-    "pii_scrub",
-    "seq_pack",
-    "docs_word_repetition",
-    # round-2 additions absent from the round-2 window (VERDICT r2 item #1)
-    "submission_violations",
-    "submission_verdicts",
-    "clinical_duration_rules",
-    "clinical_viability_rules",
-    "status_normalize",
-    "jsonl_events",
-    "csv_cleanup",
-    "embedding_quantize",
-    "docs_stratified_sample",
-    "media_frames",
 ]
 _VERIFY_LAST = [
     # rows-only ops: exact-counterpart cross-checks live in tests/ (the
@@ -141,13 +155,6 @@ _VERIFY_LAST = [
     "approx_stats_lineitem",
     "approx_quantiles_by_group",
     "dedup_clusters",
-    # two-rounds-green oracle queries rotated out to make window room
-    "top_orders",
-    "distinct_counts",
-    "stats_lineitem",
-    "events_json_k",
-    "events_hourly",
-    "customers_without_orders",
 ]
 
 

@@ -189,6 +189,8 @@ QUERY_NAMES = [
     "events_impute",
     "media_resize",
     "orders_yoy",
+    "dedup_exact_digest",
+    "media_frames",
 ]
 
 

@@ -455,7 +455,7 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
 
 @query("dedup_exact_digest", _DEDUP_EXACT_SQL)
-def dedup_exact_digest(sf_dir: str) -> pa.Table:
+def dedup_exact_digest(sf_dir: str, hash_fn=None) -> pa.Table:
     """Exact dedup, DIGEST mode — the path a 100-TB run actually takes
     (VERDICT r3 Missing #1; reference analog File_Submission_Object.py:345-354).
 
@@ -474,8 +474,13 @@ def dedup_exact_digest(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
 
+    # hash_fn is a test seam: a deliberately weak hash forces digest
+    # collisions, driving the split-by-true-text recovery path a real 64-bit
+    # digest never exercises on fixture-sized data
+    hfn = hash_fn if hash_fn is not None else _text_hash_batch
+
     def emit(batch: pa.Table) -> pa.Table:
-        h = _text_hash_batch(batch["text"]).view(np.int64)
+        h = hfn(batch["text"]).view(np.int64)
         return pa.table(
             {
                 "bkey": pa.array(h, type=pa.int64()),
@@ -529,7 +534,7 @@ def dedup_exact_digest(sf_dir: str) -> pa.Table:
 
     def gather(batch: pa.Table, ref=prune_ref) -> pa.Table:
         mh, sk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        h = _text_hash_batch(batch["text"]).view(np.int64)
+        h = hfn(batch["text"]).view(np.int64)
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         m = np.zeros(len(batch), dtype=bool)
         if len(mh):

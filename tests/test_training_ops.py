@@ -1051,3 +1051,30 @@ def test_events_impute_all_error_degenerate(ray_session, tmp_path):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dedup_exact_digest_survives_hash_collisions(ray_session):
+    """Force massive digest collisions (hash = text byte length) and require
+    the digest-mode plan to still produce exactly the raw-text grouping:
+    the candidate-verify pass must split colliding digests by true text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY, dedup_exact_digest
+
+    def weak_hash(col: pa.ChunkedArray) -> np.ndarray:
+        lens = np.array([len(t.encode()) for t in col.to_pylist()], dtype=np.uint64)
+        return lens  # .view(np.int64) applied by the caller
+
+    collided = (
+        dedup_exact_digest(SF, hash_fn=weak_hash)
+        .to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
+    )
+    true = (
+        REGISTRY["dedup_exact"][0](SF)
+        .to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
+    )
+    cols = sorted(true.columns)
+    assert collided[cols].equals(true[cols])
+    # the weak hash genuinely collides (fewer distinct lengths than texts)
+    assert len(set(weak_hash(pa.chunked_array([pa.array(true["text"])])))) < len(true)

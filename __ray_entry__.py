@@ -74,13 +74,15 @@ def entry() -> Any:
 # iteration order; the registry has grown past that window, so coverage is
 # rotated deliberately (least-recently-verified first). Round-4 ordering:
 # (1) round-4 additions / newly oracle-paired queries (dedup_exact_digest,
-#     media_frames) — no oracle-paired external row yet;
+#     media_frames, docs_sample_topk_hash, events_value_histogram) — no
+#     oracle-paired external row yet;
 # (2) queries whose implementation or oracle SQL CHANGED this round
 #     (combiner rewrites, the asof-join exchange rebuild, the events null
 #     contracts) — their prior green rows no longer cover today's code;
 # (3) every oracle-paired query absent from the round-3 window (green in
 #     r1/r2, two-plus rounds stale);
-# (4) fill to 50 with the oldest single-green round-3 additions.
+# (4) the oldest single-green round-3 additions; the remaining window
+#     slots fill from the middle (all oracle-paired, round-3 green).
 # The back holds the rows-only ops (exact-counterpart cross-checks live in
 # tests/; the external gate would record only a weak rows-count row). The
 # middle (round-3-green oracle queries) and everything else are re-verified
@@ -90,6 +92,8 @@ _VERIFY_FIRST = [
     # (1) round-4 additions / newly oracle-paired
     "dedup_exact_digest",
     "media_frames",
+    "docs_sample_topk_hash",
+    "events_value_histogram",
     # (2) changed this round
     "pricing_summary",
     "stats_lineitem",
@@ -139,8 +143,6 @@ _VERIFY_FIRST = [
     "media_resize",
     "orders_yoy",
     "top_suppliers_per_nation",
-    "orders_median_by_priority",
-    "revenue_by_nation",
 ]
 _VERIFY_LAST = [
     # rows-only ops: exact-counterpart cross-checks live in tests/ (the

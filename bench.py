@@ -191,6 +191,8 @@ QUERY_NAMES = [
     "orders_yoy",
     "dedup_exact_digest",
     "media_frames",
+    "docs_sample_topk_hash",
+    "events_value_histogram",
 ]
 
 

@@ -1845,3 +1845,56 @@ def media_resize(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.functions import media
 
     return media.media_resize(sf_dir)
+
+
+# -------------------------------------------------- global deterministic sample
+
+_SAMPLE_K = 200
+
+_SAMPLE_TOPK_SQL = f"""
+SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS rank_h
+FROM documents
+ORDER BY rank_h, doc_id
+LIMIT {_SAMPLE_K}
+"""
+
+
+@query("docs_sample_topk_hash", _SAMPLE_TOPK_SQL)
+def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
+    """Exact global-k deterministic sample — rank every doc by a splittable
+    integer hash (Knuth multiplicative, exact in int64) and keep the k
+    smallest. The distributed-sampling shape a corpus pipeline needs for
+    inspection sets / eval splits: each block reduces to ITS k smallest
+    (k-bounded combiner rows — the only data that moves), the driver merges
+    k x n_blocks rows and re-cuts to k. No shuffle, no global sort, and the
+    sample is reproducible from doc_ids alone (re-runs and resumed runs
+    agree). ≙ SURVEY §2.7 limit family at corpus scale."""
+    import numpy as np
+
+    K = _SAMPLE_K
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        order = np.lexsort((ids, h))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "rank_h": pa.array(h[order], type=pa.int64()),
+            }
+        )
+
+    t = _collect(
+        _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    h = t["rank_h"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h))[:K]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "rank_h": pa.array(h[order], type=pa.int64()),
+        }
+    )

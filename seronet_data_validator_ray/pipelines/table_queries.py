@@ -2613,3 +2613,62 @@ def orders_yoy(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ------------------------------------------------------ per-type value histogram
+
+_VALUE_HIST_SQL = """
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("events_value_histogram", _VALUE_HIST_SQL)
+def events_value_histogram(sf_dir: str) -> pa.Table:
+    """Exact fixed-width value histogram per event type ($5 bins in cents,
+    floor division — negative values land in floor bins exactly like DuckDB
+    //). The distribution-profiling shape every feature pipeline needs:
+    per-batch (type, bin) bincount combiners reduce a block to at most
+    n_types x n_occupied_bins rows, the driver merges one tiny Arrow
+    group_by — no shuffle at any corpus size (bin cardinality is bounded by
+    the value range, not the row count)."""
+    import numpy as np
+
+    WIDTH = 500  # cents per bin
+
+    def combine(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
+        cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
+        bins = np.floor_divide(cents, WIDTH)
+        types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        ut, ti = np.unique(types, return_inverse=True)
+        ub, bi = np.unique(bins, return_inverse=True)
+        key = ti * len(ub) + bi
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array([str(ut[k // len(ub)]) for k in uk], type=pa.string()),
+                "bin": pa.array(ub[uk % len(ub)], type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            combine, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = partials.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+    return pa.table(
+        {
+            "event_type": g["event_type"],
+            "bin": g["bin"],
+            "n": g["n_sum"],
+        }
+    )

@@ -157,6 +157,7 @@ _VERIFY_LAST = [
     "approx_stats_lineitem",
     "approx_quantiles_by_group",
     "dedup_clusters",
+    "dedup_semantic_clusters",
 ]
 
 

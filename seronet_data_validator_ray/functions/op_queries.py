@@ -1898,3 +1898,42 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
             "rank_h": pa.array(h[order], type=pa.int64()),
         }
     )
+
+
+@query("dedup_semantic_clusters", None)
+def dedup_semantic_clusters(sf_dir: str) -> pa.Table:
+    """Semantic (embedding-cosine) near-dup KEEP-LIST — the dedup ACTION on
+    top of cosine_near_dup_ivf's pair detection, completing the same
+    pairs → components → keep pipeline the MinHash path has
+    (dedup_clusters): IVF-bucketed exact-cosine pairs → min-label connected
+    components (driver union-find below the bound, distributed label
+    propagation above) → (vec_id, cluster_rep, cluster_size, keep). Rows-only
+    (the IVF recall and the component structure are test-asserted; cosine
+    similarity is not SQL-expressible over list<float> here)."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions import ann
+    from seronet_data_validator_ray.functions.dedup import components_table
+
+    pairs = ann.cosine_near_dup_ivf(sf_dir)
+    comp = components_table(pairs, col_a="vec_id_a", col_b="vec_id_b")
+    if comp.num_rows == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster_rep": pa.array([], type=pa.int64()),
+                "cluster_size": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_()),
+            }
+        )
+    nodes = comp["node"].to_numpy(zero_copy_only=False)
+    roots = comp["root"].to_numpy(zero_copy_only=False)
+    uniq_roots, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(nodes, type=pa.int64()),
+            "cluster_rep": pa.array(roots, type=pa.int64()),
+            "cluster_size": pa.array(counts[inv].astype(np.int64), type=pa.int64()),
+            "keep": pa.array(nodes == roots, type=pa.bool_()),
+        }
+    )

@@ -1078,3 +1078,24 @@ def test_dedup_exact_digest_survives_hash_collisions(ray_session):
     assert collided[cols].equals(true[cols])
     # the weak hash genuinely collides (fewer distinct lengths than texts)
     assert len(set(weak_hash(pa.chunked_array([pa.array(true["text"])])))) < len(true)
+
+
+def test_dedup_semantic_clusters_structure(ray_session):
+    """Cosine keep-list mirrors the MinHash keep-list invariants: every
+    paired vector appears, reps are component minima, one keep per cluster,
+    and pair endpoints always share a cluster."""
+    from seronet_data_validator_ray.functions import ann
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY
+
+    clusters = REGISTRY["dedup_semantic_clusters"][0](SF).to_pandas()
+    pairs = ann.cosine_near_dup_ivf(SF).to_pandas()
+    paired = set(pairs.vec_id_a) | set(pairs.vec_id_b)
+    assert set(clusters.vec_id) == paired
+    assert (clusters.cluster_size >= 2).all()
+    byrep = clusters.groupby("cluster_rep")
+    assert (byrep["keep"].sum() == 1).all()
+    for rep, g in byrep:
+        assert rep == g.vec_id.min()
+        assert len(g) == g.cluster_size.iloc[0]
+    rep_of = dict(zip(clusters.vec_id, clusters.cluster_rep))
+    assert all(rep_of[a] == rep_of[b] for a, b in zip(pairs.vec_id_a, pairs.vec_id_b))

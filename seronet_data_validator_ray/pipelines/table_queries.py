@@ -1563,6 +1563,54 @@ def events_minmax_scale(sf_dir: str) -> pa.Table:
 
 # ------------------------------------------------------------ cohort retention
 
+def _wau_covered_day_counts(user: "np.ndarray", day: "np.ndarray"):
+    """Pure core of the WAU reducer: distinct (user, day) -> merged
+    [d, d+6] coverage runs per user -> per-day covered-user counts.
+    Module-level so property tests can drive it without Ray."""
+    import numpy as np
+
+    order = np.lexsort((day, user))
+    u_s, d_s = user[order], day[order]
+    keep = np.ones(len(u_s), dtype=bool)
+    keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+    u_s, d_s = u_s[keep], d_s[keep]
+    # run break: new user OR gap > 6 days (covered intervals [d, d+6]
+    # merge exactly when consecutive active days are <= 6 apart)
+    new_run = np.ones(len(u_s), dtype=bool)
+    new_run[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] - d_s[:-1] > 6)
+    starts = np.flatnonzero(new_run)
+    ends = np.r_[starts[1:], len(u_s)]
+    first = d_s[starts]
+    last = d_s[ends - 1]
+    lengths = last + 7 - first  # covered days per run, disjoint per user
+    total = int(lengths.sum())
+    run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+    cum = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=cum[1:])
+    covered = np.arange(total, dtype=np.int64) - cum[run_of] + first[run_of]
+    return np.unique(covered, return_counts=True)
+
+
+def _retention_offset_counts(user: "np.ndarray", day: "np.ndarray"):
+    """Pure core of the retention reducer: distinct (user, day) ->
+    (cohort=per-user min day, offset) pair counts."""
+    import numpy as np
+
+    order = np.lexsort((day, user))
+    u_s, d_s = user[order], day[order]
+    keep = np.ones(len(u_s), dtype=bool)
+    keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+    u_s, d_s = u_s[keep], d_s[keep]
+    new_u = np.ones(len(u_s), dtype=bool)
+    new_u[1:] = u_s[1:] != u_s[:-1]
+    starts = np.nonzero(new_u)[0]
+    seg = np.cumsum(new_u) - 1
+    cohort = d_s[starts][seg]  # per-user min day (day-sorted within user)
+    offset = d_s - cohort
+    key = np.stack([cohort, offset], axis=1)
+    return np.unique(key, axis=0, return_counts=True)
+
+
 _RETENTION_SQL = """
 WITH a AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -1623,22 +1671,11 @@ def events_retention(sf_dir: str) -> pa.Table:
         if not parts:
             return schema.empty_table()
         t = pa.concat_tables(parts)
-        user = t["bkey"].to_numpy(zero_copy_only=False)
-        day = t["day"].to_numpy(zero_copy_only=False)
-        # distinct (user, day) across this bucket's combiner rows
-        order = np.lexsort((day, user))
-        u_s, d_s = user[order], day[order]
-        keep = np.ones(len(u_s), dtype=bool)
-        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
-        u_s, d_s = u_s[keep], d_s[keep]
-        new_u = np.ones(len(u_s), dtype=bool)
-        new_u[1:] = u_s[1:] != u_s[:-1]
-        starts = np.nonzero(new_u)[0]
-        seg = np.cumsum(new_u) - 1
-        cohort = d_s[starts][seg]  # per-user min day (day-sorted within user)
-        offset = d_s - cohort
-        key = np.stack([cohort, offset], axis=1)
-        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        # distinct (user, day) + cohort/offset counting via the pure core
+        uniq, counts = _retention_offset_counts(
+            t["bkey"].to_numpy(zero_copy_only=False),
+            t["day"].to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
                 "cohort": pa.array(uniq[:, 0], type=pa.int64()),
@@ -2394,28 +2431,10 @@ def events_wau(sf_dir: str) -> pa.Table:
         if not parts:
             return schema.empty_table()
         t = pa.concat_tables(parts)
-        user = t["bkey"].to_numpy(zero_copy_only=False)
-        day = t["day"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((day, user))
-        u_s, d_s = user[order], day[order]
-        keep = np.ones(len(u_s), dtype=bool)
-        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
-        u_s, d_s = u_s[keep], d_s[keep]
-        # run break: new user OR gap > 6 days (covered intervals [d, d+6]
-        # merge exactly when consecutive active days are <= 6 apart)
-        new_run = np.ones(len(u_s), dtype=bool)
-        new_run[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] - d_s[:-1] > 6)
-        starts = np.flatnonzero(new_run)
-        ends = np.r_[starts[1:], len(u_s)]
-        first = d_s[starts]
-        last = d_s[ends - 1]
-        lengths = last + 7 - first  # covered days per run, disjoint per user
-        total = int(lengths.sum())
-        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
-        cum = np.zeros(len(starts), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=cum[1:])
-        covered = np.arange(total, dtype=np.int64) - cum[run_of] + first[run_of]
-        days_u, counts = np.unique(covered, return_counts=True)
+        days_u, counts = _wau_covered_day_counts(
+            t["bkey"].to_numpy(zero_copy_only=False),
+            t["day"].to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
                 "day": pa.array(days_u, type=pa.int64()),

@@ -404,3 +404,57 @@ def test_misra_gries_merge_undercount_bound(blocks):
     for item, cnt in true_of.items():
         if cnt > bound:
             assert item in kept
+
+
+@settings(**SET)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40)), min_size=1, max_size=120
+    )
+)
+def test_wau_covered_days_match_bruteforce(pairs):
+    """The WAU run-expansion (merge [d, d+6] coverage intervals per user)
+    must equal the brute-force 'user covers day iff active in [day-6, day]'
+    count for every day."""
+    from seronet_data_validator_ray.pipelines.table_queries import _wau_covered_day_counts
+
+    user = np.array([p[0] for p in pairs], dtype=np.int64)
+    day = np.array([p[1] for p in pairs], dtype=np.int64)
+    days_u, counts = _wau_covered_day_counts(user, day)
+    got = dict(zip(days_u.tolist(), counts.tolist()))
+    active = {}
+    for u, d in pairs:
+        active.setdefault(u, set()).add(d)
+    lo, hi = day.min(), day.max() + 7
+    want = {}
+    for dd in range(lo, hi):
+        n = sum(1 for u, ds in active.items() if any(dd - 6 <= a <= dd for a in ds))
+        if n:
+            want[dd] = n
+    assert got == want
+
+
+@settings(**SET)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40)), min_size=1, max_size=120
+    )
+)
+def test_retention_offsets_match_bruteforce(pairs):
+    """(cohort = per-user min active day, offset) counts must match the
+    brute-force recomputation on distinct (user, day)."""
+    from seronet_data_validator_ray.pipelines.table_queries import _retention_offset_counts
+
+    user = np.array([p[0] for p in pairs], dtype=np.int64)
+    day = np.array([p[1] for p in pairs], dtype=np.int64)
+    uniq, counts = _retention_offset_counts(user, day)
+    got = {(int(c), int(o)): int(n) for (c, o), n in zip(uniq.tolist(), counts.tolist())}
+    active = {}
+    for u, d in pairs:
+        active.setdefault(u, set()).add(d)
+    want = {}
+    for u, ds in active.items():
+        c = min(ds)
+        for d in ds:
+            want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    assert got == want

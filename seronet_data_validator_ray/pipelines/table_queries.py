@@ -2663,6 +2663,14 @@ def events_value_histogram(sf_dir: str) -> pa.Table:
         sub = batch.filter(
             pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
         )
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "bin": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
         cents = _cents(sub["value"]).to_numpy(zero_copy_only=False)
         bins = np.floor_divide(cents, WIDTH)
         types = np.asarray(sub["event_type"].to_numpy(zero_copy_only=False), dtype=object)

@@ -23,6 +23,8 @@ micro-units (floor(1e6*cos)) so the DuckDB oracle hash-matches.
 from __future__ import annotations
 
 import numpy as np
+
+from seronet_data_validator_ray.util import read_sf_table as _read_sf_table
 import pyarrow as pa
 
 COSINE_TAU_UNITS = 400_000  # tau = 0.40 in micro-units
@@ -70,7 +72,7 @@ def _fit_centroids(sf_dir: str) -> tuple[int, np.ndarray]:
     n = _pq.ParquetFile(path).metadata.num_rows
     k = _ivf_k(n)
     target = min(n, min(IVF_FIT_SAMPLE_MAX, max(4096, IVF_FIT_SAMPLE_PER_K * k)))
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     if target < n:
         thresh = np.uint64(int((2**64 - 1) * (target / n)))
 
@@ -142,7 +144,7 @@ def cosine_near_dup(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.util import ds_to_table
 
     corpus_ref = ray.put(_corpus(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = ds.map_batches(
         CosinePairs,
         fn_constructor_kwargs={"corpus_ref": corpus_ref},
@@ -231,7 +233,7 @@ def knn_brute_force(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.util import ds_to_table
 
     queries_ref = ray.put(_queries_side(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partial = ds.map_batches(
         KnnPartial,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": KNN_K},
@@ -487,7 +489,7 @@ def cosine_near_dup_ivf(
 
     _, cents = _fit_centroids(sf_dir)
     cents_ref = ray.put({"cents": cents})
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emitted = ds.map_batches(
         _ivf_bucket_emit,
         fn_kwargs={"cents_ref": cents_ref},
@@ -518,7 +520,7 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     k, cents = _fit_centroids(sf_dir)
     qids, qmat = _queries_side(sf_dir)
     state_ref = ray.put((qids, qmat, cents))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partial = ds.map_batches(
         IvfSearch,
         fn_constructor_kwargs={"state_ref": state_ref, "nprobe": max(IVF_NPROBE, k // 4)},

@@ -50,6 +50,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from seronet_data_validator_ray.util import read_sf_table as _read_sf_table
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -901,7 +903,7 @@ def jaccard_pairs_exact(
     import ray
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     order_ref = ray.put(token_order(docs))
     emitted = docs.map_batches(
         prefix_emit_batch,
@@ -990,7 +992,7 @@ def minhash_lsh_pairs(
     with 16 bands x 4 rows)."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     emitted = docs.map_batches(minhash_emit_batch, batch_format="pyarrow", zero_copy_batch=True)
     state = _corpus_bitset_state(docs)
     if state is not None:  # dense-corpus plan: verify inside the reducers
@@ -1187,7 +1189,7 @@ def simhash_pairs(
 ) -> pa.Table:
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     emitted = docs.map_batches(
         simhash_emit_batch, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_simhash_bkey_batch, batch_format="pyarrow", zero_copy_batch=True)

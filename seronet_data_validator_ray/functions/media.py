@@ -19,6 +19,8 @@ import hashlib
 import struct
 
 import numpy as np
+
+from seronet_data_validator_ray.util import read_sf_table as _read_sf_table
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
@@ -107,7 +109,7 @@ def media_features(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.util import ds_to_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
     feats = media.map_batches(
         MediaDecoder,
@@ -160,7 +162,7 @@ def media_frames(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.util import ds_to_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
     frames = media.map_batches(
         sample_frames_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
@@ -229,7 +231,7 @@ def media_resize(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.util import ds_to_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     media = docs.map_batches(encode_fake_media_batch, batch_format="pyarrow", zero_copy_batch=True)
     resized = media.map_batches(
         MediaResizer,

@@ -31,9 +31,9 @@ def query(name: str, sql: str | None = None):
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from seronet_data_validator_ray.util import read_sf_table
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_sf_table(sf_dir, table, columns)
 
 
 def _collect(ds) -> pa.Table:

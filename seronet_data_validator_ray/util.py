@@ -40,3 +40,24 @@ def ds_to_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     if schema is not None:
         return pa.concat_tables([t.select(schema.names) for t in tables]).cast(schema)
     return pa.concat_tables(tables)
+
+
+def read_sf_table(sf_dir: str, table: str, columns=None):
+    """read_parquet of one sf table with a NAMED empty-corpus guard: Ray Data
+    never invokes map_batches UDFs on zero-row inputs, so an all-empty table
+    would otherwise surface as an opaque schema-less KeyError deep in the
+    pipeline. Empty BATCHES mid-pipeline (filters, empty partitions among
+    non-empty ones) are handled inside every kernel; this guards the
+    all-empty corner only."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if pq.read_metadata(path).num_rows == 0:
+        raise ValueError(
+            f"input table {table!r} at {sf_dir} is empty — sf-table queries "
+            "require a non-empty corpus"
+        )
+    return ray.data.read_parquet(path, columns=columns)

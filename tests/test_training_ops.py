@@ -1099,3 +1099,29 @@ def test_dedup_semantic_clusters_structure(ray_session):
         assert len(g) == g.cluster_size.iloc[0]
     rep_of = dict(zip(clusters.vec_id, clusters.cluster_rep))
     assert all(rep_of[a] == rep_of[b] for a, b in zip(pairs.vec_id_a, pairs.vec_id_b))
+
+
+def test_empty_corpus_raises_named_error(ray_session):
+    """An all-empty input table must fail EARLY with a named error (Ray Data
+    never invokes UDFs on zero-row inputs, so without the guard the failure
+    is an opaque schema-less KeyError deep in the pipeline). Mid-pipeline
+    empty BATCHES — filters, empty partitions among non-empty ones — remain
+    fully supported (validate() on a mixed dir is tested in test_pipeline)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY as OPS
+    from seronet_data_validator_ray.pipelines.table_queries import REGISTRY as TBL
+
+    d = "/tmp/graft_empty_sf_test"
+    os.makedirs(d, exist_ok=True)
+    for t in ("documents", "events", "embeddings", "lineitem", "orders"):
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+    for name in ("dedup_exact", "events_wau", "pricing_summary",
+                 "cosine_near_dup_ivf", "media_frames", "docs_sample_topk_hash"):
+        fn = (OPS.get(name) or TBL.get(name))[0]
+        with pytest.raises(ValueError, match="is empty"):
+            fn(d)

@@ -1125,3 +1125,35 @@ def test_empty_corpus_raises_named_error(ray_session):
         fn = (OPS.get(name) or TBL.get(name))[0]
         with pytest.raises(ValueError, match="is empty"):
             fn(d)
+
+
+def test_combiner_queries_block_invariant(ray_session):
+    """Per-batch-combiner queries must be bit-identical under radically
+    different block boundaries — the partial-merge bug class (a combiner
+    that only works when all rows of a key share a batch) cannot hide from
+    a 64 KiB block size."""
+    from ray.data import DataContext
+
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    names = [
+        "pricing_summary", "events_value_histogram", "orders_yoy",
+        "events_wau", "events_retention", "events_anomaly",
+        "docs_sample_topk_hash", "stats_lineitem",
+    ]
+    sf = "/root/testdata/sf0.001"
+    base = {n: qs[n](sf).to_pandas() for n in names}
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024
+        tiny = {n: qs[n](sf).to_pandas() for n in names}
+    finally:
+        ctx.target_max_block_size = saved
+    for n in names:
+        a, b = base[n], tiny[n]
+        cols = sorted(a.columns)
+        aa = a[cols].sort_values(cols).reset_index(drop=True)
+        bb = b[cols].sort_values(cols).reset_index(drop=True)
+        assert aa.equals(bb), n

@@ -180,3 +180,45 @@ def read_xlsx_dir(paths: list[str], sheet: str, force_str: tuple[str, ...] = (),
         return out
 
     return ray.data.from_items([{"path": p} for p in paths]).flat_map(parse_one)
+
+
+def submission_from_workbook(
+    path: str,
+    rulesets: dict,
+    scratch_dir: str,
+    force_str: dict | None = None,
+) -> dict:
+    """One multi-sheet .xlsx workbook -> TableSpecs for validate_submission —
+    the reference's primary entry shape (a submission IS a workbook;
+    File_Submission_Object.py:79-81 reads every sheet, Data_Validation_v2
+    validates each then cross-checks). Each sheet named in `rulesets` is
+    parsed, cleaned and dynamically typed via the shared CSV machinery, then
+    landed as parquet under <scratch_dir>/<sheet>/ so the full lifecycle
+    (manifest resume, per-partition violations, cross-sheet checks) applies
+    unchanged. Missing sheets raise a named error (pair with
+    state.backfill.backfill_missing_tables to synthesize them instead)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.pipelines.submission import TableSpec
+    from seronet_data_validator_ray.util import ds_to_table
+
+    force_str = force_str or {}
+    available = _parse_any(path)
+    out = {}
+    for sheet, ruleset in rulesets.items():
+        if sheet not in available:
+            raise KeyError(
+                f"workbook {path!r} has no sheet {sheet!r} "
+                f"(has: {sorted(available)}); backfill or fix the submission"
+            )
+        ds = read_xlsx_typed(path, sheet, force_str=tuple(force_str.get(sheet, ())))
+        tbl = ds_to_table(ds)
+        tdir = os.path.join(scratch_dir, sheet)
+        os.makedirs(tdir, exist_ok=True)
+        fpath = os.path.join(tdir, f"part-{sheet}-0000.parquet")
+        pq.write_table(tbl, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        out[sheet] = TableSpec(input_path=tdir, ruleset=ruleset)
+    return out

@@ -122,3 +122,62 @@ def test_xlsx_duplicate_headers(tmp_path):
     assert t.column_names == ["id", "value", "value.1"]
     assert t["value"].to_pylist() == ["1", "3"]
     assert t["value.1"].to_pylist() == ["2", "4"]
+
+
+def test_submission_from_workbook_end_to_end(ray_session, tmp_path):
+    """A two-sheet workbook -> TableSpecs -> validate_submission: per-sheet
+    row rules AND the cross-sheet key check fire exactly on the planted
+    errors (the reference's primary entry shape, workbook-in/verdicts-out)."""
+    import pyarrow.compute as pc
+
+    from seronet_data_validator_ray.pipelines.submission import (
+        CrossKeyCheck,
+        validate_submission,
+    )
+    from seronet_data_validator_ray.rules.spec import RuleSet, RuleSpec
+    from seronet_data_validator_ray.sources.xlsx_source import submission_from_workbook
+
+    path = str(tmp_path / "submission.xlsx")
+    _write_xlsx(
+        path,
+        {
+            "orders": [
+                ["order_id", "status"],
+                ["1", "O"], ["2", "F"], ["3", "X"], ["9", "O"],  # X bad; 9 has no lines
+            ],
+            "lines": [
+                ["order_id", "qty"],
+                ["1", "5"], ["1", "7"], ["2", "900"], ["4", "2"],  # 900 bad; 4 orphan
+            ],
+        },
+    )
+    rulesets = {
+        "orders": RuleSet(
+            name="orders", key_column="order_id",
+            rules=[RuleSpec("status.enum", "status", "in_set",
+                            {"values": ["O", "F", "P"]}, message="bad status")],
+        ),
+        "lines": RuleSet(
+            name="lines", key_column="order_id",
+            rules=[RuleSpec("qty.range", "qty", "range", {"lo": 1, "hi": 100},
+                            message="qty out of range")],
+        ),
+    }
+    tables = submission_from_workbook(path, rulesets, str(tmp_path / "scratch"))
+    res = validate_submission(
+        tables,
+        [CrossKeyCheck("cross.order_id", "orders", "order_id", "lines", "order_id")],
+    )
+    v = res.violations
+    by_rule = {}
+    for rid in v["rule_id"].to_pylist():
+        by_rule[rid] = by_rule.get(rid, 0) + 1
+    # left_only: orders 3 (bad status AND no lines) and 9; right_only: line 4
+    assert by_rule == {"status.enum": 1, "qty.range": 1, "cross.order_id": 3}
+    cross = v.filter(pc.equal(v["rule_id"], "cross.order_id"))
+    assert sorted(cross["doc_id"].to_pylist()) == ["3", "4", "9"]
+    # missing-sheet contract is a named error
+    import pytest
+
+    with pytest.raises(KeyError, match="no sheet"):
+        submission_from_workbook(path, {"nope": rulesets["orders"]}, str(tmp_path / "s2"))

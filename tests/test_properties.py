@@ -458,3 +458,44 @@ def test_retention_offsets_match_bruteforce(pairs):
         for d in ds:
             want[(c, d - c)] = want.get((c, d - c), 0) + 1
     assert got == want
+
+
+@settings(**SET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 60), st.booleans()),
+        min_size=1, max_size=100, unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+    n_parts=st.integers(1, 4),
+)
+def test_asof_reduce_matches_bruteforce(rows, n_parts):
+    """The vectorized segmented as-of merge must match the per-purchase
+    brute force (latest same-user click with ts <= purchase ts) for any
+    interleaving of users/sides — including rows split across partial
+    tables, click/purchase ts ties (>= matches), and no-click users."""
+    from seronet_data_validator_ray.pipelines.table_queries import _asof_reduce
+
+    eids = list(range(len(rows)))
+    tbl = pa.table(
+        {
+            "bkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts_us": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_id": pa.array(eids, type=pa.int64()),
+            "is_purchase": pa.array([r[2] for r in rows], type=pa.bool_()),
+        }
+    )
+    parts = [tbl.slice(i, max(1, len(rows) // n_parts + 1))
+             for i in range(0, len(rows), max(1, len(rows) // n_parts + 1))]
+    out = _asof_reduce(*parts).to_pandas()
+    got = {int(r.event_id): (int(r.click_id), int(r.click_ts_us)) for r in out.itertuples()}
+    want = {}
+    for i, (u, ts, is_p) in enumerate(rows):
+        if not is_p:
+            continue
+        cands = [(j, r[1]) for j, r in enumerate(rows)
+                 if not r[2] and r[0] == u and r[1] <= ts]
+        if cands:
+            # unique best: (user, ts) is unique among clicks by construction
+            j, cts = max(cands, key=lambda c: c[1])
+            want[i] = (j, cts)
+    assert got == want

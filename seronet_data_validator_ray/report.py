@@ -125,3 +125,36 @@ def write_summary_report(res, output_dir: str) -> dict:
             w.writerow({k: r[k] for k in fields})
     os.replace(csv_path + ".tmp", csv_path)
     return {"md": md_path, "csv": csv_path}
+
+
+def write_submission_report(res, output_dir: str) -> dict:
+    """Render a SubmissionResult (multi-table lifecycle) to
+    submission_summary.md: per-table roll-up (≙ the reference's
+    submission-level error routing, Data_Validation_v2.py:272-280), the
+    cross-check row, and per-rule tallies from the merged violations —
+    all table-cardinality-sized driver data."""
+    os.makedirs(output_dir, exist_ok=True)
+    tv = res.table_verdicts.to_pylist()
+    lines = ["# Submission validation summary", ""]
+    lines.append(_md_table(
+        ["table", "n_rows", "n_errors", "n_warnings", "pass"],
+        [[r["table"], r["n_rows"], r["n_errors"], r["n_warnings"], r["pass"]] for r in tv],
+    ))
+    v = res.violations
+    lines.append(f"## Rule tallies ({0 if v is None else len(v)} violation rows)")
+    lines.append("")
+    if v is not None and len(v):
+        g = v.group_by(["rule_id", "severity"]).aggregate([("rule_id", "count")])
+        rows = sorted(
+            zip(g["rule_id"].to_pylist(), g["severity"].to_pylist(),
+                g["rule_id_count"].to_pylist()),
+            key=lambda r: (-r[2], r[0]),
+        )
+        lines.append(_md_table(["rule_id", "severity", "count"], [list(r) for r in rows]))
+    else:
+        lines.append("_none_\n")
+    md_path = os.path.join(output_dir, "submission_summary.md")
+    with open(md_path + ".tmp", "w") as f:
+        f.write("\n".join(lines))
+    os.replace(md_path + ".tmp", md_path)
+    return {"md": md_path}

@@ -122,3 +122,14 @@ def test_backfill_skips_present_sheets(ray_session, tmp_path):
     )
     assert out["orders"] is sentinel  # untouched, like the reference's guard
     assert not os.path.exists(os.path.join(str(tmp_path), "orders"))
+
+
+def test_submission_report_renders(ray_session, tmp_path):
+    from seronet_data_validator_ray.pipelines.submission import _sf_submission
+    from seronet_data_validator_ray.report import write_submission_report
+
+    res = _sf_submission(SF)
+    p = write_submission_report(res, str(tmp_path))
+    md = open(p["md"]).read()
+    assert "# Submission validation summary" in md
+    assert "__cross__" in md and "## Rule tallies" in md

@@ -77,6 +77,50 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_workbook(args) -> int:
+    """Validate one multi-sheet .xlsx submission end-to-end — the reference's
+    main program shape (Data_Validation_v2.py: workbook in, per-sheet +
+    cross-sheet verdicts and a summary out). Rules come from a declarative
+    JSON file (rules/spec.rulesets_from_json); cross-sheet key checks from
+    --cross-key left_table:left_key=right_table:right_key (repeatable)."""
+    import os
+
+    from seronet_data_validator_ray.pipelines.submission import (
+        CrossKeyCheck,
+        validate_submission,
+    )
+    from seronet_data_validator_ray.report import write_submission_report
+    from seronet_data_validator_ray.rules.spec import rulesets_from_json
+    from seronet_data_validator_ray.sources.xlsx_source import submission_from_workbook
+
+    _init_ray(args.cpus)
+    rulesets = rulesets_from_json(args.rules)
+    tables = submission_from_workbook(
+        args.input, rulesets, os.path.join(args.output, "sheets")
+    )
+    checks = []
+    for spec in args.cross_key or []:
+        left, right = spec.split("=", 1)
+        lt, lk = left.split(":", 1)
+        rt, rk = right.split(":", 1)
+        checks.append(CrossKeyCheck(f"cross.{lk}", lt, lk, rt, rk))
+    res = validate_submission(tables, checks, output_dir=args.output)
+    report = write_submission_report(res, args.output)
+    tv = res.table_verdicts.to_pylist()
+    print(
+        json.dumps(
+            {
+                "n_violations": len(res.violations),
+                "tables": {r["table"]: r["pass"] for r in tv},
+                "pass": all(r["pass"] for r in tv),
+                "report": report,
+                "output_dir": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     import __ray_entry__ as entrymod
 
@@ -116,6 +160,17 @@ def main(argv=None) -> int:
     v.add_argument("--schema-gate", action=argparse.BooleanOptionalAction, default=True)
     v.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     v.set_defaults(fn=cmd_validate)
+
+    w = sub.add_parser("workbook", help="validate one multi-sheet .xlsx submission")
+    w.add_argument("--input", required=True, help=".xlsx workbook path")
+    w.add_argument("--rules", required=True, help="declarative ruleset JSON (sheet -> rules)")
+    w.add_argument("--output", required=True)
+    w.add_argument(
+        "--cross-key", action="append", default=None,
+        metavar="LT:LK=RT:RK", help="cross-sheet key check (repeatable)",
+    )
+    w.add_argument("--cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_workbook)
 
     q = sub.add_parser("query", help="run one registered pipeline by name")
     q.add_argument("name")

@@ -76,3 +76,44 @@ class RuleSet:
 
     def unique_rules(self) -> list[RuleSpec]:
         return [r for r in self.rules if r.kind == "unique"]
+
+
+def ruleset_from_dict(obj: dict) -> RuleSet:
+    """Build a RuleSet from plain data (parsed JSON/YAML) — the declarative
+    config surface a deployment edits without code:
+
+        {"name": "orders", "key_column": "order_id",
+         "rules": [{"rule_id": "status.enum", "column": "status",
+                    "kind": "in_set", "params": {"values": ["O","F","P"]},
+                    "severity": "Error", "message": "...",
+                    "dependency": ["not_null", "status", {}]}]}
+
+    ≙ the reference's per-sheet rule tables (Validation_Rules.py:129-513)
+    expressed as data. Unknown kernel kinds fail at evaluation time with the
+    registry's named KeyError; `kernel` callables are code-only by design
+    (no eval of config strings)."""
+    rules = []
+    for r in obj.get("rules", []):
+        dep = r.get("dependency")
+        rules.append(
+            RuleSpec(
+                rule_id=r["rule_id"],
+                column=r["column"],
+                kind=r["kind"],
+                params=dict(r.get("params", {})),
+                severity=r.get("severity", Severity.ERROR),
+                message=r.get("message", ""),
+                dependency=tuple(dep) if dep else None,
+            )
+        )
+    return RuleSet(name=obj["name"], rules=rules, key_column=obj.get("key_column"))
+
+
+def rulesets_from_json(path: str) -> dict[str, RuleSet]:
+    """Load {sheet/table name -> RuleSet} from a JSON file of the
+    ruleset_from_dict shape (top level: {"<table>": {...}, ...})."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return {name: ruleset_from_dict(obj) for name, obj in data.items()}

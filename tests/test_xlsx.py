@@ -181,3 +181,51 @@ def test_submission_from_workbook_end_to_end(ray_session, tmp_path):
 
     with pytest.raises(KeyError, match="no sheet"):
         submission_from_workbook(path, {"nope": rulesets["orders"]}, str(tmp_path / "s2"))
+
+
+def test_cli_workbook_smoke(tmp_path):
+    """python -m seronet_data_validator_ray workbook: declarative JSON rules
+    + cross-key flag -> one JSON verdict line + submission_summary.md
+    (subprocess owns its own Ray)."""
+    import json
+    import subprocess
+    import sys
+
+    wb = str(tmp_path / "sub.xlsx")
+    _write_xlsx(
+        wb,
+        {
+            "orders": [["order_id", "status"], ["1", "O"], ["2", "X"]],
+            "lines": [["order_id", "qty"], ["1", "5"], ["2", "7"]],
+        },
+    )
+    rules = {
+        "orders": {
+            "name": "orders", "key_column": "order_id",
+            "rules": [{"rule_id": "status.enum", "column": "status",
+                       "kind": "in_set", "params": {"values": ["O", "F", "P"]},
+                       "message": "bad status"}],
+        },
+        "lines": {
+            "name": "lines", "key_column": "order_id",
+            "rules": [{"rule_id": "qty.range", "column": "qty",
+                       "kind": "range", "params": {"lo": 1, "hi": 100}}],
+        },
+    }
+    rpath = str(tmp_path / "rules.json")
+    with open(rpath, "w") as f:
+        json.dump(rules, f)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "seronet_data_validator_ray", "workbook",
+         "--input", wb, "--rules", rpath, "--output", out,
+         "--cross-key", "orders:order_id=lines:order_id", "--cpus", "4"],
+        capture_output=True, text=True, timeout=280, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["pass"] is False            # planted bad status
+    assert summary["tables"]["lines"] is True  # clean sheet passes
+    assert summary["n_violations"] == 1
+    md = open(summary["report"]["md"]).read()
+    assert "status.enum" in md and "__cross__" in md

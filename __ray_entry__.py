@@ -90,6 +90,10 @@ def entry() -> Any:
 # Never externally rowed after this window: only the rows-only set.
 _VERIFY_FIRST = [
     # (1) round-4 additions / newly oracle-paired
+    "docs_quota_sample",
+    "events_cumulative_users",
+    "customer_mode_segment",
+    "lineitem_semi_bloom",
     "dedup_exact_digest",
     "media_frames",
     "docs_sample_topk_hash",
@@ -139,7 +143,9 @@ _VERIFY_FIRST = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "top_bigrams",
-    # (4) single-green round-3 additions filling the window to 50
+    # (4) single-green round-3/4 additions — now PAST the 50-slot cutoff
+    # after the four late-round-4 additions above took their places; all
+    # three are r3/r4 external-green and re-verified locally every session
     "media_resize",
     "orders_yoy",
     "top_suppliers_per_nation",

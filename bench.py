@@ -193,6 +193,10 @@ QUERY_NAMES = [
     "media_frames",
     "docs_sample_topk_hash",
     "events_value_histogram",
+    "docs_quota_sample",
+    "events_cumulative_users",
+    "customer_mode_segment",
+    "lineitem_semi_bloom",
 ]
 
 

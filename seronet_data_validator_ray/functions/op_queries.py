@@ -1900,6 +1900,82 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
     )
 
 
+_QUOTA_K = 10
+
+_QUOTA_SAMPLE_SQL = f"""
+SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS rank_h
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+) <= {_QUOTA_K}
+ORDER BY source, rank_h, doc_id
+"""
+
+
+@query("docs_quota_sample", _QUOTA_SAMPLE_SQL)
+def docs_quota_sample(sf_dir: str) -> pa.Table:
+    """Per-source QUOTA sample — the stratified companion to
+    docs_sample_topk_hash: every source contributes its k hash-smallest docs
+    (deterministic, reproducible from doc_ids alone), the shape behind
+    balanced eval splits / per-domain inspection sets when sources are wildly
+    skewed. Each block reduces to ≤ k rows PER SOURCE PRESENT IN THE BLOCK
+    (k x n_sources-bounded combiner rows are the only data that moves — no
+    shuffle, no global sort); the driver merges and re-cuts per source. At
+    10^12 rows the partial size is governed by source cardinality, not row
+    count. ≙ SURVEY §2.7 limit family, per-group form (reference analog:
+    per-sheet head sampling, File_Submission_Object.py:345)."""
+    import numpy as np
+
+    K = _QUOTA_K
+
+    def per_source_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        uniq, codes = np.unique(src, return_inverse=True)
+        order = np.lexsort((ids, h, codes))
+        codes_sorted = codes[order]
+        # rank within each source segment; keep the k smallest per source
+        starts = np.zeros(len(uniq), dtype=np.int64)
+        seg_first = np.unique(codes_sorted, return_index=True)[1]
+        starts[codes_sorted[seg_first]] = seg_first
+        pos = np.arange(len(order)) - starts[codes_sorted]
+        keep = order[pos < K]
+        return pa.table(
+            {
+                "source": pa.array(src[keep].astype(str), type=pa.string()),
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "rank_h": pa.array(h[keep], type=pa.int64()),
+            }
+        )
+
+    t = _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+            per_source_topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    # driver re-cut: same per-source rank rule over the k x n_blocks partials
+    src = np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    h = t["rank_h"].to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(src, return_inverse=True)
+    order = np.lexsort((ids, h, codes))
+    codes_sorted = codes[order]
+    starts = np.zeros(len(uniq), dtype=np.int64)
+    seg_first = np.unique(codes_sorted, return_index=True)[1]
+    starts[codes_sorted[seg_first]] = seg_first
+    pos = np.arange(len(order)) - starts[codes_sorted]
+    keep = order[pos < K]
+    keep = keep[np.lexsort((ids[keep], h[keep], codes[keep]))]
+    return pa.table(
+        {
+            "source": pa.array(src[keep].astype(str), type=pa.string()),
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "rank_h": pa.array(h[keep], type=pa.int64()),
+        }
+    )
+
+
 @query("dedup_semantic_clusters", None)
 def dedup_semantic_clusters(sf_dir: str) -> pa.Table:
     """Semantic (embedding-cosine) near-dup KEEP-LIST — the dedup ACTION on

@@ -1974,6 +1974,212 @@ def events_anomaly(sf_dir: str) -> pa.Table:
     )
 
 
+_SEMI_BLOOM_SQL = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+_BLOOM_C1 = 0x9E3779B97F4A7C15  # splitmix64 / Knuth-style odd constants
+_BLOOM_C2 = 0xC2B2AE3D27D4EB4F
+
+
+def _bloom_positions(keys, log2_bits: int):
+    """Two multiplicative hash positions per key into a 2^log2_bits bitmap
+    (vectorized, exact uint64 wraparound)."""
+    import numpy as np
+
+    k = keys.astype(np.uint64)
+    shift = np.uint64(64 - log2_bits)
+    h1 = (k * np.uint64(_BLOOM_C1)) >> shift
+    h2 = (k * np.uint64(_BLOOM_C2)) >> shift
+    return h1, h2
+
+
+@query("lineitem_semi_bloom", _SEMI_BLOOM_SQL)
+def lineitem_semi_bloom(sf_dir: str) -> pa.Table:
+    """Semi-join with a BLOOM-FILTER pre-prune — the join-pushdown shape a
+    100-TB engine needs when the build side is too big to broadcast exactly
+    but the probe side is far bigger still. Build: urgent orders reduce to
+    per-batch 2^18-bit bitmap partials (one fixed-size binary blob per block
+    — the driver OR-merges bitmaps and never holds a key set). Probe:
+    lineitem rows test two multiplicative hash positions against the
+    broadcast bitmap; only survivors (true matches + bounded false
+    positives) are pre-combined to (orderkey, returnflag) cells and enter
+    the co-partitioned exact join that removes the false positives. The
+    bloom is sized at build time (bits >= 8x keys, power of two), so at
+    scale the shuffle moves ~the matching rows instead of the whole fact
+    table. ≙ SURVEY §2.5 J2 anti/semi family, bloom-pushdown form."""
+    import numpy as np
+    import ray
+
+    LOG2_BITS = 18  # 256 Kib = 32 KiB bitmap; ~13 bits/key at sf0.1 urgent counts
+    WORDS = (1 << LOG2_BITS) // 64
+
+    urgent = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+
+    def bitmap_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        bm = np.zeros(WORDS, dtype=np.uint64)
+        for pos in _bloom_positions(keys, LOG2_BITS):
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = _ds_table(
+        urgent.map_batches(bitmap_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    bitmap = np.zeros(WORDS, dtype=np.uint64)
+    for blob in parts["bitmap"].to_pylist():
+        bitmap |= np.frombuffer(blob, dtype=np.uint64)
+    bm_ref = ray.put(bitmap)
+
+    def probe(batch: pa.Table, ref=bm_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        bm = _resolve_broadcast(ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_positions(keys, LOG2_BITS)
+        hit = (
+            (bm[(h1 >> np.uint64(6)).astype(np.int64)] >> (h1 & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+        hit &= (
+            (bm[(h2 >> np.uint64(6)).astype(np.int64)] >> (h2 & np.uint64(63))) & np.uint64(1)
+        ).astype(bool)
+        sub = batch.filter(pa.array(hit))
+        t = pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "l_returnflag": sub["l_returnflag"],
+                "cents": _cents(sub["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_returnflag": g["l_returnflag"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"]
+    ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    from seronet_data_validator_ray.util import auto_join_partitions
+
+    joined = li.join(
+        urgent.select_columns(["o_orderkey"]),
+        join_type="inner",
+        num_partitions=auto_join_partitions(
+            os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet")
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_returnflag").aggregate([("cents", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "revenue_cents": g["cents_sum"],
+                "n_items": g["n_sum"],
+            }
+        )
+
+    cells = _ds_table(
+        joined.map_batches(flag_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    g = cells.group_by("l_returnflag").aggregate([("revenue_cents", "sum"), ("n_items", "sum")])
+    g = g.sort_by("l_returnflag")
+    return pa.table(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "n_items": pc.cast(g["n_items_sum"], pa.int64()),
+            "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64()),
+        }
+    )
+
+
+_MODE_SEGMENT_SQL = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT n.n_name AS nation, c.c_mktsegment AS mode_segment, CAST(c.n AS BIGINT) AS n_customers
+FROM c JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY row_number() OVER (PARTITION BY c.c_nationkey ORDER BY c.n DESC, c.c_mktsegment) = 1
+ORDER BY nation
+"""
+
+
+@query("customer_mode_segment", _MODE_SEGMENT_SQL)
+def customer_mode_segment(sf_dir: str) -> pa.Table:
+    """Per-nation modal market segment — MODE, the textbook non-mergeable
+    (holistic) aggregate, made mergeable the same way the exact median (T70)
+    was: exchange the (group, value) COUNT HISTOGRAM instead of the rows.
+    Per-batch (nationkey, segment) count cells (bounded by 25 nations x 5
+    segments, NOT by row count), one driver Arrow merge, then a vectorized
+    argmax per nation with a deterministic tie-break (higher count, then
+    segment asc — mirrored in the oracle's window ORDER BY). Nation names are
+    a driver-side lookup on the 25-row dimension; nothing shuffles."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_nationkey", "c_mktsegment"])
+            .group_by(["c_nationkey", "c_mktsegment"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(g["c_nationkey"], pa.int64()),
+                "c_mktsegment": g["c_mktsegment"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = _ds_table(
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    merged = cells.group_by(["c_nationkey", "c_mktsegment"]).aggregate([("n", "sum")])
+    nat = merged["c_nationkey"].to_numpy(zero_copy_only=False)
+    seg = np.asarray(merged["c_mktsegment"].to_pylist(), dtype=object)
+    n = merged["n_sum"].to_numpy(zero_copy_only=False)
+    # per nation: first row under (nation asc, n desc, segment asc)
+    order = np.lexsort((seg, -n, nat))
+    _, first = np.unique(nat[order], return_index=True)
+    win = order[first]
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    n_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    name_of = dict(zip(n_keys.tolist(), nation["n_name"].to_pylist()))
+    names = np.asarray([name_of[int(k)] for k in nat[win]], dtype=object)
+    out_order = np.argsort(names)
+    return pa.table(
+        {
+            "nation": pa.array(names[out_order].astype(str), type=pa.string()),
+            "mode_segment": pa.array(seg[win][out_order].astype(str), type=pa.string()),
+            "n_customers": pa.array(n[win][out_order], type=pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------ Q5-style nation revenue
 
 _NATION_REV_SQL = """
@@ -2475,6 +2681,114 @@ def events_wau(sf_dir: str) -> pa.Table:
             "wau": pa.array(g["n_sum"].to_numpy(zero_copy_only=False)[mask], type=pa.int64()),
         }
     ).sort_by("day")
+
+
+_CUM_USERS_SQL = """
+WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(day) AS d0 FROM a GROUP BY user_id),
+d AS (SELECT DISTINCT day FROM a),
+n AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY d0)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+FROM d LEFT JOIN n ON n.day = d.day
+ORDER BY day
+"""
+
+
+@query("events_cumulative_users", _CUM_USERS_SQL)
+def events_cumulative_users(sf_dir: str) -> pa.Table:
+    """Cumulative distinct users per day (growth accounting) — the running
+    COUNT DISTINCT that naive plans solve with a day x user triangular
+    self-join. Each user contributes exactly ONE (user, first-day) fact:
+    per-batch (user, min day) combiners -> user-hash bucketed exchange ->
+    per-bucket global first-seen day per user -> day-cardinality-bounded
+    (day, n_new) partials; the cumulative sum is one driver cumsum over the
+    observed-day axis. A user's rows never meet another user's, so there is
+    no hot-day reducer, and partial rows are bounded by min(users, rows) per
+    bucket, never by the day x user cross product. Null user/ts rows are
+    dropped up front (contract mirrored in the oracle SQL)."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    DAY_US = 86_400_000_000
+
+    def emit(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        )
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            // DAY_US
+        )
+        # per-batch first-seen: sort by (day, user), keep each user's first row
+        order = np.lexsort((day, user))
+        u_sorted, first = np.unique(user[order], return_index=True)
+        return pa.table(
+            {
+                "bkey": pa.array(u_sorted, type=pa.int64()),
+                "day": pa.array(day[order][first], type=pa.int64()),
+            }
+        )
+
+    def reduce_first_seen(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("n_new", pa.int64())])
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        user = t["bkey"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        _, first = np.unique(user[order], return_index=True)
+        d0 = day[order][first]
+        days_u, counts = np.unique(d0, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(days_u, type=pa.int64()),
+                "n_new": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_first_seen,
+        distinct_output=False,
+    )
+    g = partials.group_by("day").aggregate([("n_new", "sum")])
+
+    # observed-day axis (second pruned scan, same null contract as the oracle)
+    def days_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        )
+        day = (
+            batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
+            // DAY_US
+        )
+        return pa.table({"day": pa.array(np.unique(day), type=pa.int64())})
+
+    observed = _ds_table(
+        _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            days_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    obs = np.unique(observed["day"].to_numpy(zero_copy_only=False))
+    new_day = g["day"].to_numpy(zero_copy_only=False)
+    new_n = g["n_new_sum"].to_numpy(zero_copy_only=False)
+    # align first-seen counts onto the observed-day axis, then one cumsum
+    aligned = np.zeros(len(obs), dtype=np.int64)
+    aligned[np.searchsorted(obs, new_day)] = new_n
+    return pa.table(
+        {
+            "day": pa.array(obs.astype("datetime64[D]").astype(str), type=pa.string()),
+            "cum_users": pa.array(np.cumsum(aligned), type=pa.int64()),
+        }
+    )
 
 
 # ------------------------------------------------------------ mean imputation

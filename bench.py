@@ -197,6 +197,8 @@ QUERY_NAMES = [
     "events_cumulative_users",
     "customer_mode_segment",
     "lineitem_semi_bloom",
+    "dedup_edit_distance",
+    "seq_repetition_stats",
 ]
 
 

@@ -1435,3 +1435,211 @@ def dedup_clusters(sf_dir: str, driver_max_pairs: int | None = None) -> pa.Table
             "keep": pa.array(nodes == roots, type=pa.bool_()),
         }
     )
+
+
+# ----------------------------------------------- edit-distance (fuzzy) dedup
+
+# Blocked Levenshtein near-dup detection — the classic record-linkage /
+# fuzzy-dedup member the hash families (exact/digest, Jaccard, MinHash,
+# SimHash, cosine) can't express: small CHARACTER edits that change most
+# shingles. Blocking keys (codepoint length bucket + codepoint prefix) are
+# part of the operator's contract and are mirrored verbatim in the DuckDB
+# oracle; distances are BYTE-level (DuckDB's levenshtein() operates on UTF-8
+# bytes — measured: one CJK substitution costs 3).
+# ≙ reference typo-tolerant matching (Data_Validation_v2 typo normalizer,
+# seronet reference checks M21) generalized from a fixed typo table to a
+# bounded-distance pair search.
+
+EDIT_MAX_DIST = 8  # bytes
+EDIT_LEN_BUCKET = 16  # codepoints per length bucket
+EDIT_PREFIX = 8  # codepoint prefix in the block key
+EDIT_VERIFY_CHUNK = 1024  # pairs per verify task
+
+
+def _edit_block_emit(batch: pa.Table) -> pa.Table:
+    """(bkey, doc_id) light rows: bkey = mix64(blake2b(len_bucket | prefix)).
+    16 B/row is all that moves in the candidate-generation exchange — texts
+    stay in place until the bounded verify fetch."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    lb = pc.cast(
+        pc.floor(pc.divide(pc.utf8_length(text), EDIT_LEN_BUCKET)), pa.int64()
+    )
+    key = pc.binary_join_element_wise(
+        pc.cast(lb, pa.string()), pc.utf8_slice_codeunits(text, 0, EDIT_PREFIX), "|"
+    )
+    enc = key.dictionary_encode()
+    h = _mix64(_hash_dictionary(enc.dictionary.to_pylist()))
+    bkey = h[enc.indices.to_numpy(zero_copy_only=False)].view(np.int64)
+    return pa.table(
+        {
+            "bkey": pa.array(bkey, type=pa.int64()),
+            "doc_id": batch["doc_id"],
+        }
+    )
+
+
+def _reduce_edit_block(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """Per-bucket candidate pairs: all pairs within equal block keys
+    (vectorized across every block at once). Block populations are bounded
+    by the blocking key's selectivity; a doc has exactly ONE block key, so
+    pairs are unique across buckets by construction."""
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return _EMPTY_CAND
+    t = pa.concat_tables(parts)
+    bkey = t["bkey"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bkey))
+    bkey_s, ids_s = bkey[order], ids[order]
+    a_idx, b_idx = _segment_pairs(bkey_s)
+    if not len(a_idx):
+        return _EMPTY_CAND
+    lo = np.minimum(ids_s[a_idx], ids_s[b_idx])
+    hi = np.maximum(ids_s[a_idx], ids_s[b_idx])
+    return pa.table(
+        {
+            "doc_id_a": pa.array(lo, type=pa.int64()),
+            "doc_id_b": pa.array(hi, type=pa.int64()),
+        }
+    )
+
+
+def _lev_bytes(a: np.ndarray, b: np.ndarray, maxd: int) -> int:
+    """Byte-level Levenshtein with numpy row DP and band early-exit.
+
+    The insertion recurrence cur[j] = min(cur[j], cur[j-1]+1) is a prefix
+    min over (cur[k] - k), so each DP row is three vector ops — no Python
+    inner loop over columns. Returns maxd+1 as soon as a full row exceeds
+    maxd (band exhausted)."""
+    n, m = len(a), len(b)
+    if abs(n - m) > maxd:
+        return maxd + 1
+    if n == 0 or m == 0:
+        return max(n, m)
+    ar = np.arange(m + 1, dtype=np.int32)
+    prev = ar.copy()
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int32)
+        cur[0] = i
+        np.minimum(prev[:-1] + (b != a[i - 1]), prev[1:] + 1, out=cur[1:])
+        cur = np.minimum.accumulate(cur - ar) + ar
+        if cur.min() > maxd:
+            return maxd + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def _verify_edit_chunk(a_ids, b_ids, state_ref) -> pa.Table:
+    """One pair-chunk of the edit-distance verify: banded byte-DP against the
+    broadcast candidate-text state (fetched from plasma once per worker)."""
+    import ray
+
+    st = state_ref if isinstance(state_ref, dict) else ray.get(state_ref)
+    ids, bufs, blocks = st["ids"], st["bufs"], st["blocks"]
+    maxd = st.get("maxd", EDIT_MAX_DIST)
+    pa_ = np.searchsorted(ids, a_ids)
+    pb_ = np.searchsorted(ids, b_ids)
+    keep_a, keep_b, dists = [], [], []
+    for i in range(len(a_ids)):
+        ia, ib = pa_[i], pb_[i]
+        # mix64 collisions across true blocks are killed here: the true
+        # (len-bucket | prefix) key rides in state and must match exactly
+        if blocks[ia] != blocks[ib]:
+            continue
+        d = _lev_bytes(bufs[ia], bufs[ib], maxd)
+        if d <= maxd:
+            keep_a.append(a_ids[i])
+            keep_b.append(b_ids[i])
+            dists.append(d)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(keep_a, type=pa.int64()),
+            "doc_id_b": pa.array(keep_b, type=pa.int64()),
+            "lev": pa.array(dists, type=pa.int64()),
+        }
+    )
+
+
+def _candidate_texts_batch(batch: pa.Table, ids_ref=None) -> pa.Table:
+    """Pruned fetch: keep only candidate docs (broadcast sorted-id probe) and
+    carry their raw text to the verify state — the ONLY point where text
+    leaves its block, and it is candidate-sized, not corpus-sized."""
+    from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+    cand_ids = _resolve_broadcast(ids_ref)["ids"]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(cand_ids, ids)
+    pos[pos == len(cand_ids)] = 0
+    mask = (cand_ids[pos] == ids) if len(cand_ids) else np.zeros(len(ids), bool)
+    sub = batch.filter(pa.array(mask))
+    return pa.table({"doc_id": sub["doc_id"], "text": pc.fill_null(sub["text"], "")})
+
+
+def edit_distance_pairs(docs_ds, max_dist: int = EDIT_MAX_DIST) -> pa.Table:
+    """(doc_id_a, doc_id_b, lev) for every blocked pair within max_dist.
+
+    Plan: 16 B (block-hash, doc_id) emit rows -> bucketed exchange ->
+    within-block pair enumeration -> candidate-sized text fetch (pruned
+    second scan, sorted-id broadcast probe) -> chunked banded-DP verify
+    tasks against one plasma-resident text state. Raw text never shuffles;
+    verify work is bounded by candidate pairs, not corpus size."""
+    import ray
+
+    emitted = docs_ds.map_batches(
+        _edit_block_emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = _bucketed_pair_exchange(emitted, _reduce_edit_block)
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], type=pa.int64()),
+            "doc_id_b": pa.array([], type=pa.int64()),
+            "lev": pa.array([], type=pa.int64()),
+        }
+    )
+    if cand.num_rows == 0:
+        return empty
+    a = cand["doc_id_a"].to_numpy(zero_copy_only=False)
+    b = cand["doc_id_b"].to_numpy(zero_copy_only=False)
+    cand_ids = np.unique(np.concatenate([a, b]))
+    ids_ref = ray.put({"ids": cand_ids})
+    from seronet_data_validator_ray.util import ds_to_table
+
+    tok = ds_to_table(
+        docs_ds.map_batches(
+            _candidate_texts_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"ids_ref": ids_ref},
+        )
+    )
+    ids = tok["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    texts = [tok["text"][int(i)].as_py() for i in order]
+    state = {
+        "ids": ids[order],
+        "bufs": [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts],
+        "blocks": [
+            f"{len(t) // EDIT_LEN_BUCKET}|{t[:EDIT_PREFIX]}" for t in texts
+        ],
+        "maxd": max_dist,
+    }
+    if len(a) <= EDIT_VERIFY_CHUNK:
+        out = [_verify_edit_chunk(a, b, state)]
+    else:
+        state_ref = ray.put(state)
+        key = ("verify_edit",)
+        if key not in _REMOTE_FNS:
+            _REMOTE_FNS[key] = ray.remote(_verify_edit_chunk)
+        vc = _REMOTE_FNS[key]
+        refs = [
+            vc.remote(a[i : i + EDIT_VERIFY_CHUNK], b[i : i + EDIT_VERIFY_CHUNK], state_ref)
+            for i in range(0, len(a), EDIT_VERIFY_CHUNK)
+        ]
+        out = ray.get(refs)
+    out = [t for t in out if len(t)]
+    if not out:
+        return empty
+    return pa.concat_tables(out).sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])

@@ -1900,6 +1900,37 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
     )
 
 
+_EDIT_DIST_SQL = """
+WITH b AS (
+  SELECT doc_id, text, length(text) // 16 AS lb, substr(text, 1, 8) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, c.text) AS BIGINT) AS lev
+FROM b a JOIN b c ON a.lb = c.lb AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= 8
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@query("dedup_edit_distance", _EDIT_DIST_SQL)
+def dedup_edit_distance(sf_dir: str) -> pa.Table:
+    """Blocked EDIT-DISTANCE near-dup pairs — the fuzzy-dedup family member
+    the hash signatures can't express (small character edits change most
+    shingles). Blocking keys (codepoint length-bucket + codepoint prefix)
+    are the operator contract, mirrored verbatim in the oracle; distances
+    are byte-level Levenshtein (matching DuckDB's byte-oriented kernel).
+    Plan: 16 B (block-hash, doc_id) emit rows -> bucketed exchange ->
+    within-block pair enumeration -> candidate-sized pruned text fetch ->
+    chunked banded-DP verify tasks against one plasma-resident state (true
+    block keys re-checked at verify, so block-hash collisions cannot leak
+    pairs). Raw text never shuffles. See functions/dedup.py
+    edit_distance_pairs."""
+    from seronet_data_validator_ray.functions.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 _QUOTA_K = 10
 
 _QUOTA_SAMPLE_SQL = f"""

@@ -1233,3 +1233,96 @@ def seq_oov_rate(sf_dir: str) -> pa.Table:
     )
 
 
+
+
+# --------------------------------------------------------- repetition stats
+
+_REPETITION_SQL = """
+WITH seq AS (
+  SELECT doc_id, tokens FROM read_parquet('{c}/part-*.parquet')
+  WHERE len(tokens) > 0
+),
+t AS (SELECT doc_id, unnest(tokens) AS tok FROM seq),
+g AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(CAST(sum(n) AS HUGEINT) AS BIGINT) AS n_tok,
+             CAST(max(n) AS BIGINT) AS top_count
+      FROM g GROUP BY doc_id),
+top AS (
+  SELECT g.doc_id, CAST(min(g.tok) AS BIGINT) AS top_token
+  FROM g JOIN s ON g.doc_id = s.doc_id AND g.n = s.top_count
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id, s.n_tok, s.n_distinct,
+       (10000 * s.n_distinct) // s.n_tok AS distinct_ratio_bp,
+       top.top_token, s.top_count
+FROM s JOIN top ON s.doc_id = top.doc_id
+"""
+
+
+@query("seq_repetition_stats", _REPETITION_SQL)
+def seq_repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-sequence TOKEN-REPETITION profile over the clean corpus — the
+    Gopher-style "fraction in the most common token" quality signal at the
+    token (not word) level: distinct-token count, distinct ratio in exact
+    integer basis points, and the modal token with a deterministic min-token
+    tie-break (mirrored in the oracle's min(tok)-at-max-count join).
+
+    One no-shuffle pass: zero-copy token flatten, per-(row, token) counts
+    from ONE np.unique over a (row << 32 | token) composite (token ids are
+    int32, so the composite is exact in int64), per-row distinct counts via
+    bincount and the modal token via one lexsort — no per-row Python, no
+    groupby; every row's stats complete inside its own block, so 10^12
+    sequences stream with zero exchange. ≙ SURVEY §2.11 quality family
+    (reference analog: per-column value-profile checks,
+    File_Submission_Object.py:345 generalized to token arrays)."""
+    import ray.data
+
+    from seronet_data_validator_ray.sources.parquet import plan_read
+
+    d = ensure_clean(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+        lengths, flat = flat_list_view(batch, "tokens", {})
+        keep = lengths > 0
+        n = len(lengths)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        comp = (row_of << np.int64(32)) | flat.astype(np.int64)
+        uniq, counts = np.unique(comp, return_counts=True)
+        rows_u = uniq >> np.int64(32)
+        toks_u = uniq & np.int64(0xFFFFFFFF)
+        n_distinct = np.bincount(rows_u, minlength=n).astype(np.int64)
+        # modal token per row, ties to the smallest token id:
+        # lexsort = rows asc, then count desc, then token asc
+        order = np.lexsort((toks_u, -counts, rows_u))
+        _, first = np.unique(rows_u[order], return_index=True)
+        top_tok = np.zeros(n, dtype=np.int64)
+        top_cnt = np.zeros(n, dtype=np.int64)
+        rows_first = rows_u[order][first]
+        top_tok[rows_first] = toks_u[order][first]
+        top_cnt[rows_first] = counts[order][first]
+        n_tok = lengths.astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n_tok, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "distinct_ratio_bp": pa.array(
+                    np.where(keep, (10000 * n_distinct) // np.maximum(n_tok, 1), 0),
+                    type=pa.int64(),
+                ),
+                "top_token": pa.array(top_tok, type=pa.int64()),
+                "top_count": pa.array(top_cnt, type=pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(
+        [f.path for f in plan.files if f.schema_ok], columns=["doc_id", "tokens"]
+    ).map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.util import ds_to_table
+
+    return ds_to_table(ds)

@@ -1987,6 +1987,9 @@ ORDER BY l.l_returnflag
 
 _BLOOM_C1 = 0x9E3779B97F4A7C15  # splitmix64 / Knuth-style odd constants
 _BLOOM_C2 = 0xC2B2AE3D27D4EB4F
+# ~13 bits/key at sf0.1 urgent-order counts; tests shrink this to force a
+# high false-positive rate and assert the exact join still removes them all
+BLOOM_LOG2_BITS = 18
 
 
 def _bloom_positions(keys, log2_bits: int):
@@ -2018,7 +2021,7 @@ def lineitem_semi_bloom(sf_dir: str) -> pa.Table:
     import numpy as np
     import ray
 
-    LOG2_BITS = 18  # 256 Kib = 32 KiB bitmap; ~13 bits/key at sf0.1 urgent counts
+    LOG2_BITS = BLOOM_LOG2_BITS
     WORDS = (1 << LOG2_BITS) // 64
 
     urgent = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(

@@ -499,3 +499,44 @@ def test_asof_reduce_matches_bruteforce(rows, n_parts):
             j, cts = max(cands, key=lambda c: c[1])
             want[i] = (j, cts)
     assert got == want
+
+
+def _lev_reference(a: bytes, b: bytes) -> int:
+    """Textbook uncapped O(nm) Levenshtein, the independent oracle."""
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(
+                prev[j - 1] + (a[i - 1] != b[j - 1]), prev[j] + 1, cur[j - 1] + 1
+            )
+        prev = cur
+    return prev[m]
+
+
+@given(
+    st.binary(max_size=24),
+    st.binary(max_size=24),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=120, deadline=None)
+def test_lev_bytes_matches_reference(a, b, maxd):
+    """The banded numpy DP (prefix-min insertion recurrence, early band
+    exit) must equal the textbook DP whenever the true distance fits the
+    band, and must report maxd+1 (never an under-estimate) when it does
+    not — for arbitrary byte strings, including empty ones."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _lev_bytes
+
+    got = _lev_bytes(
+        np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8), maxd
+    )
+    want = _lev_reference(a, b)
+    if want <= maxd:
+        assert got == want
+    else:
+        # over the band the exact value is not contractual — only that the
+        # result can never under-estimate into the keep range
+        assert got > maxd

@@ -1157,3 +1157,33 @@ def test_combiner_queries_block_invariant(ray_session):
         aa = a[cols].sort_values(cols).reset_index(drop=True)
         bb = b[cols].sort_values(cols).reset_index(drop=True)
         assert aa.equals(bb), n
+
+
+def test_edit_distance_exchange_and_chunked_verify_match_driver(ray_session, monkeypatch):
+    """Force the scale paths — raw-Ray bucketed candidate exchange AND
+    multi-chunk remote verify tasks — and require bit-identical output to
+    the (oracle-checked) driver path."""
+    import ray.data
+
+    from seronet_data_validator_ray.functions import dedup
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    small = dedup.edit_distance_pairs(docs)
+    assert small.num_rows > 0, "fixture should contain blocked near-dup pairs"
+    monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "EDIT_VERIFY_CHUNK", 4)
+    big = dedup.edit_distance_pairs(docs)
+    assert small.to_pandas().equals(big.to_pandas())
+
+
+def test_semi_bloom_false_positives_removed(ray_session, monkeypatch):
+    """Shrink the bloom to 64 bits (massive false-positive rate on thousands
+    of keys) and require the output unchanged: the co-partitioned exact join
+    must remove every bloom false positive, so the bitmap size is purely a
+    shuffle-volume knob, never a correctness one."""
+    from seronet_data_validator_ray.pipelines import table_queries as tq
+
+    base = tq.REGISTRY["lineitem_semi_bloom"][0](SF).to_pandas()
+    monkeypatch.setattr(tq, "BLOOM_LOG2_BITS", 6)
+    fp_heavy = tq.REGISTRY["lineitem_semi_bloom"][0](SF).to_pandas()
+    assert base.equals(fp_heavy)

@@ -199,6 +199,7 @@ QUERY_NAMES = [
     "lineitem_semi_bloom",
     "dedup_edit_distance",
     "seq_repetition_stats",
+    "seq_dedup_tokens",
 ]
 
 

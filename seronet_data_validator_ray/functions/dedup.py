@@ -1643,3 +1643,178 @@ def edit_distance_pairs(docs_ds, max_dist: int = EDIT_MAX_DIST) -> pa.Table:
     if not out:
         return empty
     return pa.concat_tables(out).sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+
+
+# ------------------------------------------------- exact dedup of TOKEN ARRAYS
+
+# The north-star input is (doc_id, tokens, n_tok, source): exact-duplicate
+# SEQUENCES (same token array) are the token-level analog of dedup_exact's
+# duplicate text. Same digest-mode plan as dedup_exact_digest: a positional
+# polynomial hash of the array is the 16 B shuffle key, hash-equality groups
+# are verified against the TRUE arrays at candidates only, so the int32
+# token payload never enters an exchange.
+
+_TOKSEQ_R = np.uint64(0x9E3779B97F4A7C15)
+_TOKSEQ_C = np.uint64(0x12345)
+_TOKSEQ_L = np.uint64(0xDEADBEEF97F4A7C5)
+
+
+def token_seq_hash_batch(batch: pa.Table, col: str = "tokens") -> np.ndarray:
+    """uint64 positional polynomial hash per row of a list<int> column:
+    h = mix64( Σ_i (tok_i + C) · R^i  ⊕  len · L ), exact uint64 wraparound.
+    Fully vectorized: one cumprod for the power table, one reduceat for the
+    segment sums — no per-row Python."""
+    from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+    lengths, flat = flat_list_view(batch, col, {})
+    n = len(lengths)
+    lengths = lengths.astype(np.int64)
+    sums = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        maxlen = int(lengths.max())
+        pows = np.empty(maxlen, dtype=np.uint64)
+        if maxlen:
+            pows[0] = np.uint64(1)
+            if maxlen > 1:
+                np.cumprod(np.full(maxlen - 1, _TOKSEQ_R, dtype=np.uint64), out=pows[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lengths)
+        terms = (flat.astype(np.int64).view(np.uint64) + _TOKSEQ_C) * pows[pos]
+        nz = lengths > 0
+        sums[nz] = np.add.reduceat(terms, starts[nz])
+    return _mix64(sums ^ (lengths.view(np.uint64) * _TOKSEQ_L))
+
+
+def _tokens_bytes_rows(batch: pa.Table, col: str = "tokens") -> list:
+    """Per-row canonical byte serialization of the token array (int64 LE) —
+    candidate-sized only; used to split hash collisions by true content."""
+    from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+    lengths, flat = flat_list_view(batch, col, {})
+    flat = flat.astype(np.int64)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths.astype(np.int64)[:-1], out=starts[1:])
+    return [
+        flat[s : s + int(l)].tobytes() for s, l in zip(starts, lengths)
+    ]
+
+
+def token_dedup_groups(seq_ds, hash_fn=None) -> pa.Table:
+    """(keep_doc_id, n_copies, n_tok) per distinct token ARRAY.
+
+    Plan: filter the null contract (tokens / doc_id present — a null list is
+    NOT the empty list), emit 16 B (array-hash, doc_id, n_tok) rows, ONE
+    hash-bucketed exchange aggregates (min doc_id, count, n_tok) per digest;
+    hashes with count > 1 fetch their member arrays in a pruned second scan
+    and split by true content (collision recovery — hash_fn is the test seam
+    that forces it). Token payloads never shuffle."""
+    import ray
+
+    hfn = hash_fn if hash_fn is not None else token_seq_hash_batch
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch["tokens"]),
+            pc.and_(
+                pc.is_valid(batch["doc_id"]), pc.not_equal(pc.fill_null(batch["doc_id"], ""), "")
+            ),
+        )
+        sub = batch.filter(pc.fill_null(ok, False))
+        h = hfn(sub).view(np.int64)
+        from seronet_data_validator_ray.rules.kernels import flat_list_view
+
+        lengths, _ = flat_list_view(sub, "tokens", {})
+        return pa.table(
+            {
+                "bkey": pa.array(h, type=pa.int64()),
+                "doc_id": pc.cast(sub["doc_id"], pa.string()),
+                "n_tok": pa.array(lengths.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def reduce_groups(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("bkey", pa.int64()),
+                ("keep_doc_id", pa.string()),
+                ("n_copies", pa.int64()),
+                ("n_tok", pa.int64()),
+            ]
+        )
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        g = t.group_by("bkey").aggregate(
+            [("doc_id", "min"), ("doc_id", "count"), ("n_tok", "min")]
+        )
+        return pa.table(
+            {
+                "bkey": g["bkey"],
+                "keep_doc_id": g["doc_id_min"],
+                "n_copies": pc.cast(g["doc_id_count"], pa.int64()),
+                "n_tok": g["n_tok_min"],
+            }
+        )
+
+    agg = _bucketed_pair_exchange(
+        seq_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        reduce_groups,
+        distinct_output=False,  # each digest lands in exactly one bucket
+    )
+    out_schema = pa.schema(
+        [("keep_doc_id", pa.string()), ("n_copies", pa.int64()), ("n_tok", pa.int64())]
+    )
+    if not len(agg):
+        return out_schema.empty_table()
+    bkeys = agg["bkey"].to_numpy(zero_copy_only=False)
+    n_copies = agg["n_copies"].to_numpy(zero_copy_only=False)
+    multi_mask = n_copies > 1
+    singles = agg.filter(pa.array(~multi_mask)).select(
+        ["keep_doc_id", "n_copies", "n_tok"]
+    )
+    if not multi_mask.any():
+        return singles.sort_by("keep_doc_id")
+
+    multi_h = np.sort(bkeys[multi_mask])
+    h_ref = ray.put(multi_h)
+
+    def gather(batch: pa.Table, ref=h_ref) -> pa.Table:
+        mh = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        ok = pc.and_(
+            pc.is_valid(batch["tokens"]),
+            pc.and_(
+                pc.is_valid(batch["doc_id"]), pc.not_equal(pc.fill_null(batch["doc_id"], ""), "")
+            ),
+        )
+        sub = batch.filter(pc.fill_null(ok, False))
+        h = hfn(sub).view(np.int64)
+        pos = np.minimum(np.searchsorted(mh, h), len(mh) - 1)
+        m = mh[pos] == h
+        cand = sub.filter(pa.array(m))
+        return pa.table(
+            {
+                "doc_id": pc.cast(cand["doc_id"], pa.string()),
+                "payload": pa.array(_tokens_bytes_rows(cand), type=pa.large_binary()),
+            }
+        )
+
+    from seronet_data_validator_ray.util import ds_to_table
+
+    got = ds_to_table(
+        seq_ds.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # split by TRUE array content: groups keyed on the serialized tokens
+    gp = got.group_by("payload").aggregate([("doc_id", "min"), ("doc_id", "count")])
+    pay = gp["payload"].to_pylist()
+    fixed = pa.table(
+        {
+            "keep_doc_id": gp["doc_id_min"],
+            "n_copies": pc.cast(gp["doc_id_count"], pa.int64()),
+            "n_tok": pa.array([len(p) // 8 for p in pay], type=pa.int64()),
+        }
+    )
+    return pa.concat_tables(
+        [singles.cast(out_schema), fixed.cast(out_schema)]
+    ).sort_by("keep_doc_id")

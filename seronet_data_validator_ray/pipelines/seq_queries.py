@@ -1326,3 +1326,44 @@ def seq_repetition_stats(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.util import ds_to_table
 
     return ds_to_table(ds)
+
+
+# ------------------------------------------------------ token-array exact dedup
+
+_SEQ_DEDUP_TOKENS_SQL = (
+    _CTE
+    + """
+SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(len(tokens) AS BIGINT) AS n_tok
+FROM seq
+WHERE tokens IS NOT NULL AND doc_id IS NOT NULL AND doc_id <> ''
+GROUP BY tokens
+"""
+)
+
+
+@query("seq_dedup_tokens", _SEQ_DEDUP_TOKENS_SQL)
+def seq_dedup_tokens(sf_dir: str) -> pa.Table:
+    """Exact dedup of TOKEN ARRAYS over the north-star corpus — duplicate
+    pre-tokenized sequences are the token-level analog of duplicate text,
+    and this is the digest-mode plan a 10^12-row run takes: a positional
+    polynomial uint64 hash of each array (one cumprod + one reduceat per
+    block, no per-row Python) is the 16 B shuffle key; ONE hash-bucketed
+    exchange aggregates (min doc_id, count, n_tok) per digest; hash groups
+    with count > 1 fetch their member arrays in a pruned second scan and
+    split by true content, so int32 token payloads never enter an exchange
+    and hash collisions cannot merge distinct sequences. The oracle groups
+    by the raw list column — results must hash-match. See
+    functions/dedup.py token_dedup_groups (collision recovery is driven by
+    a weak-hash test seam in tests/test_training_ops.py)."""
+    import ray.data
+
+    from seronet_data_validator_ray.functions.dedup import token_dedup_groups
+    from seronet_data_validator_ray.sources.parquet import plan_read
+
+    d = ensure_seq(sf_dir)
+    plan = plan_read(d, SEQUENCES_SCHEMA)
+    ds = ray.data.read_parquet(
+        [f.path for f in plan.files if f.schema_ok], columns=["doc_id", "tokens"]
+    )
+    return token_dedup_groups(ds)

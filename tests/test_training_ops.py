@@ -1187,3 +1187,54 @@ def test_semi_bloom_false_positives_removed(ray_session, monkeypatch):
     monkeypatch.setattr(tq, "BLOOM_LOG2_BITS", 6)
     fp_heavy = tq.REGISTRY["lineitem_semi_bloom"][0](SF).to_pandas()
     assert base.equals(fp_heavy)
+
+
+def test_token_dedup_groups_dups_collisions_and_exchange(ray_session, monkeypatch):
+    """token_dedup_groups on a crafted corpus with planted duplicate arrays,
+    a null-tokens row, an empty-array row and an empty doc_id: the default
+    hash, a deliberately COLLIDING hash (every row same digest — the verify
+    must split groups by true content), and the forced raw-Ray exchange path
+    must all reproduce the brute-force grouping."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from seronet_data_validator_ray.functions import dedup
+
+    rows = {
+        "doc_id": ["d3", "d1", "d2", "d4", "", "d5", "d6", "d7"],
+        "tokens": [
+            [1, 2, 3],
+            [1, 2, 3],          # dup of d3's array, smaller id wins
+            [3, 2, 1],          # same multiset, different order: distinct
+            [1, 2],             # prefix: distinct
+            [9, 9],             # empty doc_id: dropped by contract
+            None,               # null tokens: dropped by contract
+            [],                 # empty array is a REAL group (not null)
+            [7],
+        ],
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "tokens": pa.array(rows["tokens"], type=pa.list_(pa.int32())),
+        }
+    )
+    want = sorted(
+        [("d1", 2, 3), ("d2", 1, 3), ("d4", 1, 2), ("d6", 1, 0), ("d7", 1, 1)]
+    )
+
+    def got_tuples(out):
+        t = out.to_pandas()
+        return sorted(zip(t.keep_doc_id, t.n_copies, t.n_tok))
+
+    ds = ray.data.from_arrow(tbl)
+    assert got_tuples(dedup.token_dedup_groups(ds)) == want
+
+    def colliding(batch, col="tokens"):
+        return np.full(batch.num_rows, 0xABCD, dtype=np.uint64)
+
+    assert got_tuples(dedup.token_dedup_groups(ds, hash_fn=colliding)) == want
+
+    monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
+    assert got_tuples(dedup.token_dedup_groups(ds)) == want

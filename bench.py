@@ -200,6 +200,7 @@ QUERY_NAMES = [
     "dedup_edit_distance",
     "seq_repetition_stats",
     "seq_dedup_tokens",
+    "events_top_paths",
 ]
 
 

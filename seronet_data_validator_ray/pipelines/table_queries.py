@@ -992,6 +992,112 @@ FROM per_sess GROUP BY user_id
 """
 
 
+_TOP_PATHS_K = 20
+
+_TOP_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), w AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM e
+)
+SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_TOP_PATHS_K}
+"""
+
+
+@query("events_top_paths", _TOP_PATHS_SQL)
+def events_top_paths(sf_dir: str) -> pa.Table:
+    """Top-k 3-step event-type PATHS (sequential pattern mining — the
+    behavior-analytics op behind funnel discovery). Consecutive triples need
+    each user's events in global time order, so this routes through the same
+    user-hash bucketed exchange as sessionize_dist/wau: light (user, ts_us,
+    event_id, type) rows, per-bucket ONE lexsort + vectorized triple mask
+    (a trigram never crosses users; ties break on event_id exactly as the
+    oracle's window ORDER BY), paths counted as base-K integer codes via
+    bincount — per-bucket partials are bounded by K^3 path cardinality, not
+    event count; the driver merges path cells and re-cuts top-k with the
+    (n desc, path asc) total order. No per-user Python, no hot-user
+    reducer."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])),
+            pc.is_valid(batch["event_type"]),
+        )
+        sub = batch.filter(ok)
+        return pa.table(
+            {
+                "bkey": sub["user_id"],
+                "ts_us": pa.array(
+                    sub["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8"),
+                    type=pa.int64(),
+                ),
+                "event_id": sub["event_id"],
+                "etype": sub["event_type"],
+            }
+        )
+
+    def reduce_paths(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        user = t["bkey"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["etype"].combine_chunks() if isinstance(t["etype"], pa.ChunkedArray) else t["etype"]
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        K = max(len(types), 1)
+        order = np.lexsort((eid, ts, user))
+        u_s, c_s = user[order], codes[order]
+        if len(u_s) < 3:
+            return schema.empty_table()
+        m = (u_s[:-2] == u_s[1:-1]) & (u_s[1:-1] == u_s[2:])
+        key = c_s[:-2] * K * K + c_s[1:-1] * K + c_s[2:]
+        cnt = np.bincount(key[m], minlength=0)
+        nz = np.nonzero(cnt)[0]
+        paths = [
+            f"{types[k // (K * K)]}>{types[(k // K) % K]}>{types[k % K]}" for k in nz
+        ]
+        return pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_paths,
+        distinct_output=False,
+    )
+    g = partials.group_by("path").aggregate([("n", "sum")])
+    paths = np.asarray(g["path"].to_pylist(), dtype=object)
+    n = g["n_sum"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((paths, -n))[:_TOP_PATHS_K]
+    return pa.table(
+        {
+            "path": pa.array(paths[top].astype(str), type=pa.string()),
+            "n": pa.array(n[top], type=pa.int64()),
+        }
+    )
+
+
 @query("events_sessionize", _SESSIONIZE_SQL)
 def events_sessionize(sf_dir: str) -> pa.Table:
     """Gap-and-island sessionization (30-min inactivity): groupby(user)

@@ -201,6 +201,7 @@ QUERY_NAMES = [
     "seq_repetition_stats",
     "seq_dedup_tokens",
     "events_top_paths",
+    "supplier_part_coverage",
 ]
 
 

@@ -992,6 +992,118 @@ FROM per_sess GROUP BY user_id
 """
 
 
+_COVERAGE_SQL = """
+WITH sb AS (
+  SELECT DISTINCT l.l_suppkey, p.p_brand, p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT count(*) AS nb FROM (SELECT DISTINCT p_brand, p_type FROM part)),
+cov AS (SELECT l_suppkey, count(*) AS c FROM sb GROUP BY l_suppkey)
+SELECT s.s_name AS supplier, CAST(cov.c AS BIGINT) AS n_combos,
+       (cov.c = tot.nb) AS full_coverage
+FROM cov JOIN supplier s ON cov.l_suppkey = s.s_suppkey CROSS JOIN tot
+ORDER BY supplier
+"""
+
+
+@query("supplier_part_coverage", _COVERAGE_SQL)
+def supplier_part_coverage(sf_dir: str) -> pa.Table:
+    """RELATIONAL DIVISION (coverage): which suppliers have shipped every
+    (brand, type) combination in the part dimension — the "for all" join no
+    other operator family expresses. The dimension collapses to a broadcast
+    partkey -> combo-code map (combos are dictionary-encoded small ints);
+    each lineitem batch reduces to its DISTINCT (suppkey, combo) pairs via
+    one np.unique on a (supp << 16 | combo) composite — partial rows are
+    bounded by suppliers x combos present in the block, not by row count;
+    one supplier-hash exchange re-distincts and counts per supplier (a
+    supplier's pairs never meet another's). Divisor cardinality is a
+    driver-side constant from the dimension. ≙ SURVEY §2.6 A3
+    declared-vs-observed generalized to set coverage."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand", "p_type"]
+    )
+    combo_str = pc.binary_join_element_wise(part["p_brand"], part["p_type"], "|")
+    enc = combo_str.combine_chunks().dictionary_encode()
+    nb = len(enc.dictionary)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    po = np.argsort(pk)
+    dim_ref = ray.put(
+        {
+            "pk": pk[po],
+            "combo": enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[po],
+        }
+    )
+
+    def pairs(batch: pa.Table, ref=dim_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        d = _resolve_broadcast(ref)
+        partkey = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d["pk"], partkey)
+        pos[pos == len(d["pk"])] = 0
+        hit = d["pk"][pos] == partkey
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
+        combo = d["combo"][pos[hit]]
+        comp = np.unique((supp << np.int64(16)) | combo)
+        return pa.table(
+            {
+                "bkey": pa.array(comp >> np.int64(16), type=pa.int64()),
+                "combo": pa.array(comp & np.int64(0xFFFF), type=pa.int64()),
+            }
+        )
+
+    def reduce_cov(*parts_, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("l_suppkey", pa.int64()), ("n_combos", pa.int64())])
+        parts_ = [p for p in parts_ if p is not None and len(p)]
+        if not parts_:
+            return schema.empty_table()
+        t = pa.concat_tables(parts_)
+        supp = t["bkey"].to_numpy(zero_copy_only=False)
+        combo = t["combo"].to_numpy(zero_copy_only=False)
+        comp = np.unique((supp << np.int64(16)) | combo)
+        s = comp >> np.int64(16)
+        uniq, counts = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(uniq, type=pa.int64()),
+                "n_combos": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cov = _bucketed_pair_exchange(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_cov,
+        distinct_output=False,
+    )
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    name_of = dict(
+        zip(
+            supplier["s_suppkey"].to_numpy(zero_copy_only=False).tolist(),
+            supplier["s_name"].to_pylist(),
+        )
+    )
+    sk = cov["l_suppkey"].to_numpy(zero_copy_only=False)
+    n = cov["n_combos"].to_numpy(zero_copy_only=False)
+    names = np.asarray([name_of[int(k)] for k in sk], dtype=object)
+    order = np.argsort(names)
+    return pa.table(
+        {
+            "supplier": pa.array(names[order].astype(str), type=pa.string()),
+            "n_combos": pa.array(n[order], type=pa.int64()),
+            "full_coverage": pa.array(n[order] == nb, type=pa.bool_()),
+        }
+    )
+
+
 _TOP_PATHS_K = 20
 
 _TOP_PATHS_SQL = f"""

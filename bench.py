@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "seq_dedup_tokens",
     "events_top_paths",
     "supplier_part_coverage",
+    "events_mad_outliers",
 ]
 
 

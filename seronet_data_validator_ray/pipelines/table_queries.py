@@ -2803,6 +2803,110 @@ def orders_median_by_priority(sf_dir: str) -> pa.Table:
     )
 
 
+_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), med AS (
+  SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+  FROM c GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS adev
+  FROM c JOIN med m ON c.event_type = m.event_type
+), mad AS (
+  SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(d.med) AS BIGINT) AS median_cents,
+       CAST(max(m2.mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("events_mad_outliers", _MAD_SQL)
+def events_mad_outliers(sf_dir: str) -> pa.Table:
+    """ROBUST outlier detection: median / median-absolute-deviation per
+    event type, flagging |x - med| > 3·MAD — the statistics events_anomaly's
+    mean/stddev z-score breaks on under heavy tails. The SQL plan needs two
+    full-table joins (values → median, deviations → MAD); the engine needs
+    ONE corpus pass: per-batch (type, cents) COUNT cells
+    (value-cardinality-bounded like T70's median), one driver Arrow merge,
+    and then median, the |v − med| deviation HISTOGRAM (a pure transform of
+    the value histogram — no second scan), MAD, and the outlier tally all
+    fall out of the same merged cells. percentile_disc semantics (0-based
+    rank (n-1)//2) are replicated exactly; all arithmetic is integer
+    cents."""
+    import numpy as np
+
+    def vc(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.and_(pc.is_valid(batch["value"]), pc.is_valid(batch["event_type"]))
+        )
+        t = pa.table({"event_type": sub["event_type"], "cents": _cents(sub["value"])})
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "cents": g["cents"],
+                "cnt": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    partials = _ds_table(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            vc, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    g = partials.group_by(["event_type", "cents"]).aggregate([("cnt", "sum")])
+    et = np.asarray(g["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+    cents = g["cents"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt_sum"].to_numpy(zero_copy_only=False)
+    uniq, gidx = np.unique(et, return_inverse=True)
+    order = np.lexsort((cents, gidx))
+    gidx_s, cents_s, cnt_s = gidx[order], cents[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, gidx_s[1:] != gidx_s[:-1]])
+    ends = np.r_[starts[1:], len(gidx_s)]
+
+    def _disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        # percentile_disc(0.5): sorted element at 0-based rank (n-1)//2
+        n = int(counts.sum())
+        cum = np.cumsum(counts)
+        return int(vals[int(np.searchsorted(cum, (n - 1) // 2 + 1))])
+
+    out = {"event_type": [], "n": [], "median_cents": [], "mad_cents": [], "n_outliers": []}
+    for a, b in zip(starts, ends):
+        vals, counts = cents_s[a:b], cnt_s[a:b]
+        med = _disc_median(vals, counts)
+        adev = np.abs(vals - med)
+        # deviation histogram is a transform of the value histogram: re-sort
+        # and re-merge equal deviations (v below and above the median fold)
+        ao = np.argsort(adev, kind="stable")
+        av, ac = adev[ao], counts[ao]
+        seg = np.flatnonzero(np.r_[True, av[1:] != av[:-1]])
+        av_u = av[seg]
+        ac_u = np.add.reduceat(ac, seg)
+        mad = _disc_median(av_u, ac_u)
+        out["event_type"].append(str(uniq[gidx_s[a]]))
+        out["n"].append(int(counts.sum()))
+        out["median_cents"].append(med)
+        out["mad_cents"].append(mad)
+        out["n_outliers"].append(int(counts[adev > 3 * mad].sum()))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "median_cents": pa.array(out["median_cents"], type=pa.int64()),
+            "mad_cents": pa.array(out["mad_cents"], type=pa.int64()),
+            "n_outliers": pa.array(out["n_outliers"], type=pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------- weekly active users
 
 _WAU_SQL = """

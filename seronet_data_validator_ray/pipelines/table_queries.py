@@ -1030,6 +1030,11 @@ def supplier_part_coverage(sf_dir: str) -> pa.Table:
     combo_str = pc.binary_join_element_wise(part["p_brand"], part["p_type"], "|")
     enc = combo_str.combine_chunks().dictionary_encode()
     nb = len(enc.dictionary)
+    if nb > 0xFFFF:
+        raise ValueError(
+            f"supplier_part_coverage: {nb} distinct combos exceed the 16-bit "
+            "composite width — widen the (supp << 16 | combo) packing"
+        )
     pk = part["p_partkey"].to_numpy(zero_copy_only=False)
     po = np.argsort(pk)
     dim_ref = ray.put(
@@ -1173,6 +1178,13 @@ def events_top_paths(sf_dir: str) -> pa.Table:
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         types = enc.dictionary.to_pylist()
         K = max(len(types), 1)
+        if K > 256:
+            raise ValueError(
+                f"events_top_paths: {K} distinct event types make a K^3 "
+                "bincount infeasible — switch this reducer to a hashed path "
+                "count (np.unique over composite codes) for high-cardinality "
+                "type alphabets"
+            )
         order = np.lexsort((eid, ts, user))
         u_s, c_s = user[order], codes[order]
         if len(u_s) < 3:

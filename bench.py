@@ -203,6 +203,7 @@ QUERY_NAMES = [
     "events_top_paths",
     "supplier_part_coverage",
     "events_mad_outliers",
+    "part_pareto_frontier",
 ]
 
 

@@ -2815,6 +2815,92 @@ def orders_median_by_priority(sf_dir: str) -> pa.Table:
     )
 
 
+_PARETO_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.price_cents, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+    AND (b.price_cents < a.price_cents OR b.size > a.size)
+)
+ORDER BY a.price_cents, a.p_partkey
+"""
+
+
+def _pareto_mask(price, size, key):
+    """Vectorized 2-D strict-dominance filter: keep rows no other row
+    dominates (cheaper-or-equal AND bigger-or-equal, strict somewhere).
+    One lexsort; a row survives iff its size beats the running max of all
+    STRICTLY cheaper rows and ties the max of its own price group (equal
+    (price, size) pairs are mutually non-dominating and all survive)."""
+    import numpy as np
+
+    order = np.lexsort((key, -size, price))
+    p_s, s_s = price[order], size[order]
+    new_p = np.r_[True, p_s[1:] != p_s[:-1]]
+    grp_id = np.cumsum(new_p) - 1
+    grp_start = np.flatnonzero(new_p)
+    cummax = np.maximum.accumulate(s_s)
+    M_per_grp = np.where(
+        grp_start > 0, cummax[np.maximum(grp_start - 1, 0)], np.iinfo(np.int64).min
+    )
+    mx_per_grp = np.maximum.reduceat(s_s, grp_start)
+    keep_sorted = (s_s > M_per_grp[grp_id]) & (s_s == mx_per_grp[grp_id])
+    keep = np.zeros(len(p_s), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+@query("part_pareto_frontier", _PARETO_SQL)
+def part_pareto_frontier(sf_dir: str) -> pa.Table:
+    """PARETO FRONTIER (2-D skyline: cheapest-for-the-size parts) — the
+    dominance query whose naive form is the oracle's O(n²) NOT EXISTS
+    self-join. The skyline operator is DISTRIBUTIVE: every block reduces to
+    its local frontier with one vectorized lexsort + running-max pass (a
+    global dominator of any dropped row transitively survives in its own
+    block's frontier), the driver re-runs the identical filter over the
+    union of local frontiers — data moved is frontier-sized, never
+    corpus-sized, and there is no shuffle. ≙ SURVEY §2.7 top-k family
+    generalized from a total order to a dominance partial order."""
+    import numpy as np
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        price = _cents(batch["p_retailprice"]).to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _pareto_mask(price, size, key)
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[keep], type=pa.int64()),
+                "price_cents": pa.array(price[keep], type=pa.int64()),
+                "size": pa.array(size[keep], type=pa.int64()),
+            }
+        )
+
+    t = _ds_table(
+        _read(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]).map_batches(
+            local_frontier, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    key = t["p_partkey"].to_numpy(zero_copy_only=False)
+    price = t["price_cents"].to_numpy(zero_copy_only=False)
+    size = t["size"].to_numpy(zero_copy_only=False)
+    keep = _pareto_mask(price, size, key)
+    order = np.lexsort((key[keep], price[keep]))
+    return pa.table(
+        {
+            "p_partkey": pa.array(key[keep][order], type=pa.int64()),
+            "price_cents": pa.array(price[keep][order], type=pa.int64()),
+            "size": pa.array(size[keep][order], type=pa.int64()),
+        }
+    )
+
+
 _MAD_SQL = """
 WITH c AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents

@@ -540,3 +540,50 @@ def test_lev_bytes_matches_reference(a, b, maxd):
         # over the band the exact value is not contractual — only that the
         # result can never under-estimate into the keep range
         assert got > maxd
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=80, deadline=None)
+def test_pareto_mask_matches_bruteforce_and_is_distributive(points, n_blocks):
+    """The vectorized skyline filter must equal the O(n²) dominance
+    definition for arbitrary (price, size) multisets (ties included), and
+    the split-into-blocks → local frontier → re-filter merge must be
+    bit-identical to the single-pass answer (the distributivity the
+    distributed plan relies on)."""
+    import numpy as np
+
+    from seronet_data_validator_ray.pipelines.table_queries import _pareto_mask
+
+    price = np.array([p for p, _ in points], dtype=np.int64)
+    size = np.array([s for _, s in points], dtype=np.int64)
+    key = np.arange(len(points), dtype=np.int64)
+
+    def dominated(i):
+        return any(
+            (price[j] <= price[i] and size[j] >= size[i])
+            and (price[j] < price[i] or size[j] > size[i])
+            for j in range(len(points))
+        )
+
+    want = {i for i in range(len(points)) if not dominated(i)}
+    got = set(np.flatnonzero(_pareto_mask(price, size, key)).tolist())
+    assert got == want
+
+    # distributivity: local frontiers per block, then one re-filter
+    surv = []
+    for b in range(n_blocks):
+        idx = np.array([i for i in range(len(points)) if i % n_blocks == b], dtype=np.int64)
+        if not len(idx):
+            continue
+        m = _pareto_mask(price[idx], size[idx], key[idx])
+        surv.extend(idx[m].tolist())
+    surv = np.array(sorted(surv), dtype=np.int64)
+    m2 = _pareto_mask(price[surv], size[surv], key[surv])
+    assert set(surv[m2].tolist()) == want

@@ -1238,3 +1238,19 @@ def test_token_dedup_groups_dups_collisions_and_exchange(ray_session, monkeypatc
 
     monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
     assert got_tuples(dedup.token_dedup_groups(ds)) == want
+
+
+def test_new_exchange_queries_forced_path_matches_driver(ray_session, monkeypatch):
+    """events_cumulative_users, events_top_paths and supplier_part_coverage
+    ride the shared bucketed exchange: forcing EXCHANGE_DRIVER_MAX_ROWS=0
+    (every reduce through the raw-Ray split/reduce path) must be
+    bit-identical to the driver-reduce path for all three."""
+    from seronet_data_validator_ray.functions import dedup
+    from seronet_data_validator_ray.pipelines import table_queries as tq
+
+    names = ["events_cumulative_users", "events_top_paths", "supplier_part_coverage"]
+    small = {n: tq.REGISTRY[n][0](SF).to_pandas() for n in names}
+    monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
+    for n in names:
+        big = tq.REGISTRY[n][0](SF).to_pandas()
+        assert small[n].equals(big), n

@@ -174,15 +174,23 @@ def plan_read(
     stamp_of = dict(listed)
 
     def footer(path: str) -> dict:
-        f = open_parquet_file(path)
-        md = f.metadata
-        return {
-            "path": path,
-            "num_rows": md.num_rows,
-            "row_group_rows": [md.row_group(i).num_rows for i in range(md.num_row_groups)],
-            "schema_names": f.schema_arrow.names,
-            "schema_str": f.schema_arrow.serialize().to_pybytes(),
-        }
+        try:
+            f = open_parquet_file(path)
+            md = f.metadata
+            return {
+                "path": path,
+                "num_rows": md.num_rows,
+                "row_group_rows": [md.row_group(i).num_rows for i in range(md.num_row_groups)],
+                "schema_names": f.schema_arrow.names,
+                "schema_str": f.schema_arrow.serialize().to_pybytes(),
+            }
+        except Exception as exc:  # noqa: BLE001 — footer corruption is data, not code
+            # A truncated/corrupt file must gate ITS partition, not kill a
+            # 10^12-row run: it lands as a schema-failed FileMeta (same path
+            # the reference's column_validation rejection takes), shows up
+            # as schema_ok=False in the partition verdict, and is skipped by
+            # every schema-gated read.
+            return {"path": path, "error": f"{type(exc).__name__}: {exc}"}
 
     if len(listed) <= 64:
         metas = [footer(p) for p, _ in listed]  # driver-side below fan-out threshold
@@ -203,6 +211,19 @@ def plan_read(
 
     plan = ReadPlan()
     for m in sorted(metas, key=lambda r: r["path"]):
+        if "error" in m:
+            plan.files.append(
+                FileMeta(
+                    path=m["path"],
+                    partition=os.path.basename(m["path"]),
+                    num_rows=0,
+                    row_group_rows=[],
+                    schema_ok=False,
+                    schema_msg=f"unreadable parquet: {m['error']}",
+                    fingerprint=f"0:{stamp_of[m['path']]}",
+                )
+            )
+            continue
         actual = pa.ipc.read_schema(pa.BufferReader(m["schema_str"]))
         ok, msg = (True, "")
         if expected_schema is not None:

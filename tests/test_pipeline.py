@@ -296,3 +296,40 @@ def test_default_cap_bounds_every_row_fails(clean_dir):
     for bd in res.verdicts["rule_breakdown"].to_pylist():
         total += json.loads(bd).get("source.referential", 0)
     assert total == n_rows
+
+
+def test_corrupt_file_gates_partition_not_run(ray_session, tmp_path):
+    """A truncated/corrupt parquet file must fail ITS partition (a
+    schema_ok=False verdict naming the footer error) while every other
+    partition validates normally — corruption is data, not a run-killer."""
+    import shutil
+
+    from seronet_data_validator_ray.datagen import SEQUENCES_SCHEMA, SOURCES
+    from seronet_data_validator_ray.pipelines.seq_queries import ensure_seq
+    from seronet_data_validator_ray.pipelines.validate import validate
+    from seronet_data_validator_ray.rules.builtin import sequences_rules
+
+    src = ensure_seq("/root/testdata/sf0.001")
+    d = str(tmp_path / "with-corrupt")
+    shutil.copytree(src, d)
+    with open(os.path.join(d, "part-corrupt-0000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    res = validate(
+        d,
+        sequences_rules(),
+        expected_schema=SEQUENCES_SCHEMA,
+        broadcast={"allowed_sources": SOURCES},
+    )
+    verd = res.verdicts.to_pandas().set_index("partition")
+    bad = verd.loc["part-corrupt-0000.parquet"]
+    assert not bad["schema_ok"] and not bad["pass"]
+    # exactly one schema.conformance error, no fabricated row errors
+    assert int(bad["n_errors"]) == 1 and int(bad["n_rows"]) == 0
+    v = res.violations.to_pandas()
+    gate = v[(v.partition == "part-corrupt-0000.parquet") & (v.rule_id == "schema.conformance")]
+    assert len(gate) == 1 and "unreadable parquet" in gate.iloc[0]["observed"]
+    # the healthy partitions are unaffected (the fixture's planted
+    # badschema file stays gated for its own reason)
+    healthy = verd.drop(index=["part-corrupt-0000.parquet", "part-badschema-0000.parquet"])
+    assert healthy["schema_ok"].all()

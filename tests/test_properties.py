@@ -587,3 +587,37 @@ def test_pareto_mask_matches_bruteforce_and_is_distributive(points, n_blocks):
     surv = np.array(sorted(surv), dtype=np.int64)
     m2 = _pareto_mask(price[surv], size[surv], key[surv])
     assert set(surv[m2].tolist()) == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 50), max_size=12),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_token_seq_hash_separates_distinct_arrays(arrays, n_chunks):
+    """token_seq_hash_batch must be a pure function of the token ARRAY
+    (deterministic across arbitrary batch chunking) and must separate the
+    classic near-misses the strategy generates — permutations, prefixes,
+    [] vs [0] vs [0,0], negative tokens. On fixtures this small a 64-bit
+    collision would be a real bug, not bad luck."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import token_seq_hash_batch
+
+    tbl = pa.table({"tokens": pa.array(arrays, type=pa.list_(pa.int32()))})
+    h = token_seq_hash_batch(tbl)
+    # determinism under chunking: hash each slice independently
+    step = max(1, len(arrays) // n_chunks)
+    parts = [token_seq_hash_batch(tbl.slice(i, step)) for i in range(0, len(arrays), step)]
+    assert (np.concatenate(parts) == h).all()
+    # equal content -> equal hash; distinct content -> distinct hash
+    by_content = {}
+    for arr, hv in zip(arrays, h.tolist()):
+        by_content.setdefault(tuple(arr), set()).add(hv)
+    assert all(len(v) == 1 for v in by_content.values())
+    hashes = [next(iter(v)) for v in by_content.values()]
+    assert len(set(hashes)) == len(hashes)

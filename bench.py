@@ -204,6 +204,7 @@ QUERY_NAMES = [
     "supplier_part_coverage",
     "events_mad_outliers",
     "part_pareto_frontier",
+    "docs_source_overlap",
 ]
 
 

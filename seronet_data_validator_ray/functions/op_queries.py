@@ -1900,6 +1900,156 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
     )
 
 
+_SOURCE_OVERLAP_SQL = """
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("docs_source_overlap", _SOURCE_OVERLAP_SQL)
+def docs_source_overlap(sf_dir: str) -> pa.Table:
+    """Inter-source CONTAMINATION matrix: for every source pair, the number
+    of distinct word 3-gram shingles they share — the corpus-health signal
+    behind "how much of source B is already in source A" decisions
+    (dedup-across-domains, leakage between splits). The oracle's plan is a
+    shingle self-join; the engine's is one pass + one light exchange: each
+    batch emits distinct (shingle-hash, source-code) 9 B rows (shingle
+    hashes combine the per-word blake2b hashes positionally — no shingle
+    string is ever materialized), the shingle-hash-bucketed exchange ORs a
+    per-shingle source BITMASK and converts distinct masks to pair counts
+    (partials bounded by source-pair cardinality, not shingle count), and
+    the driver sums a ≤ n_sources² cell table. Source codes come from one
+    pruned source-column scan (≤64 sources; loud error past the bitmask
+    width — escalation: two-level mask blocks). 64-bit shingle digests make
+    the grouping 2^-64-approximate per pair; the digest-collision recovery
+    pattern (split by true content at candidates, as token_dedup_groups
+    does) is the documented escalation if that ever matters."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import (
+        _bucketed_pair_exchange,
+        _hash_dictionary,
+        _mix64,
+        _split_tokens,
+    )
+
+    src_tbl = _collect(
+        _read(sf_dir, "documents", columns=["source"]).map_batches(
+            lambda b: pa.table({"source": pc.unique(b["source"])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    sources = sorted(set(src_tbl["source"].to_pylist()))
+    if len(sources) > 64:
+        raise ValueError(
+            f"docs_source_overlap: {len(sources)} sources exceed the 64-bit "
+            "source bitmask — block the mask into two levels"
+        )
+    code_of = {s: i for i, s in enumerate(sources)}
+    code_ref = ray.put(code_of)
+
+    C1, C2, C3 = (
+        np.uint64(0x9E3779B97F4A7C15),
+        np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9),
+    )
+
+    def emit(batch: pa.Table, ref=code_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        codes_map = _resolve_broadcast(ref)
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        out_schema = pa.schema([("bkey", pa.int64()), ("code", pa.int64())])
+        total = int(lengths.sum())
+        if total < 3:
+            return out_schema.empty_table()
+        flat_h = _hash_dictionary(dict_strs)[tok_ids]
+        n = len(lengths)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos = np.arange(total, dtype=np.int64) - starts[row_of]
+        sh = _mix64(flat_h[:-2] * C1 + flat_h[1:-1] * C2 + flat_h[2:] * C3)
+        valid = pos[:-2] <= lengths[row_of[:-2]] - 3
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        row_codes = np.array([codes_map[s] for s in src], dtype=np.int64)
+        sh_v = sh[valid].view(np.int64)
+        code_v = row_codes[row_of[:-2][valid]]
+        order = np.lexsort((code_v, sh_v))
+        sh_s, code_s = sh_v[order], code_v[order]
+        keep = np.r_[True, (sh_s[1:] != sh_s[:-1]) | (code_s[1:] != code_s[:-1])]
+        return pa.table(
+            {
+                "bkey": pa.array(sh_s[keep], type=pa.int64()),
+                "code": pa.array(code_s[keep], type=pa.int64()),
+            }
+        )
+
+    def reduce_overlap(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64())])
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables(parts)
+        h = t["bkey"].to_numpy(zero_copy_only=False)
+        c = t["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, h))
+        h_s, c_s = h[order], c[order]
+        keep = np.r_[True, (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        h_s, c_s = h_s[keep], c_s[keep]
+        gs = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        masks = np.bitwise_or.reduceat(np.uint64(1) << c_s.astype(np.uint64), gs)
+        vals, cnts = np.unique(masks, return_counts=True)
+        acc: dict = {}
+        for m, cn in zip(vals.tolist(), cnts.tolist()):
+            bits = [b for b in range(64) if (m >> b) & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    k = (bits[x], bits[y])
+                    acc[k] = acc.get(k, 0) + cn
+        if not acc:
+            return schema.empty_table()
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in ks], type=pa.int64()),
+                "b": pa.array([k[1] for k in ks], type=pa.int64()),
+                "n": pa.array([acc[k] for k in ks], type=pa.int64()),
+            }
+        )
+
+    partials = _bucketed_pair_exchange(
+        _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        reduce_overlap,
+        distinct_output=False,
+    )
+    g = partials.group_by(["a", "b"]).aggregate([("n", "sum")])
+    a = g["a"].to_numpy(zero_copy_only=False)
+    b = g["b"].to_numpy(zero_copy_only=False)
+    n = g["n_sum"].to_numpy(zero_copy_only=False)
+    names_a = np.asarray([sources[int(i)] for i in a], dtype=object)
+    names_b = np.asarray([sources[int(i)] for i in b], dtype=object)
+    order = np.lexsort((names_b, names_a))
+    return pa.table(
+        {
+            "source_a": pa.array(names_a[order].astype(str), type=pa.string()),
+            "source_b": pa.array(names_b[order].astype(str), type=pa.string()),
+            "n_shared": pa.array(n[order], type=pa.int64()),
+        }
+    )
+
+
 _EDIT_DIST_SQL = """
 WITH b AS (
   SELECT doc_id, text, length(text) // 16 AS lb, substr(text, 1, 8) AS pfx

@@ -1246,11 +1246,18 @@ def test_new_exchange_queries_forced_path_matches_driver(ray_session, monkeypatc
     (every reduce through the raw-Ray split/reduce path) must be
     bit-identical to the driver-reduce path for all three."""
     from seronet_data_validator_ray.functions import dedup
+    from seronet_data_validator_ray.functions import op_queries as oq
     from seronet_data_validator_ray.pipelines import table_queries as tq
 
-    names = ["events_cumulative_users", "events_top_paths", "supplier_part_coverage"]
-    small = {n: tq.REGISTRY[n][0](SF).to_pandas() for n in names}
+    reg = {**tq.REGISTRY, **oq.REGISTRY}
+    names = [
+        "events_cumulative_users",
+        "events_top_paths",
+        "supplier_part_coverage",
+        "docs_source_overlap",
+    ]
+    small = {n: reg[n][0](SF).to_pandas() for n in names}
     monkeypatch.setattr(dedup, "EXCHANGE_DRIVER_MAX_ROWS", 0)
     for n in names:
-        big = tq.REGISTRY[n][0](SF).to_pandas()
+        big = reg[n][0](SF).to_pandas()
         assert small[n].equals(big), n

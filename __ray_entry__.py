@@ -90,6 +90,7 @@ def entry() -> Any:
 # Never externally rowed after this window: only the rows-only set.
 _VERIFY_FIRST = [
     # (1) round-4 additions / newly oracle-paired
+    "docs_vocab_encode",
     "docs_source_overlap",
     "part_pareto_frontier",
     "events_mad_outliers",

@@ -205,6 +205,7 @@ QUERY_NAMES = [
     "events_mad_outliers",
     "part_pareto_frontier",
     "docs_source_overlap",
+    "docs_vocab_encode",
 ]
 
 

@@ -1900,6 +1900,90 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
     )
 
 
+_VOCAB_ENCODE_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+v AS (
+  SELECT word, row_number() OVER (ORDER BY word) - 1 AS tid
+  FROM (SELECT DISTINCT word FROM w)
+),
+t AS (SELECT w.doc_id, v.tid FROM w JOIN v ON w.word = v.word)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(CAST(sum(tid) AS HUGEINT) AS BIGINT) AS token_sum,
+       CAST(count(DISTINCT tid) AS BIGINT) AS n_distinct_tok,
+       CAST(min(tid) AS BIGINT) AS min_tid,
+       CAST(max(tid) AS BIGINT) AS max_tid
+FROM t GROUP BY doc_id
+"""
+
+
+@query("docs_vocab_encode", _VOCAB_ENCODE_SQL)
+def docs_vocab_encode(sf_dir: str) -> pa.Table:
+    """VOCABULARY CONSTRUCTION + ENCODING — the text→tokens bridge that
+    turns the documents table into the engine's own north-star input shape:
+    pass 1 builds the global vocabulary (every word's token id = its rank
+    in the sorted distinct-word set — the SQL-checkable stand-in for a
+    learned BPE table), pass 2 re-streams and encodes each document.
+    Distributed shape: batches contribute their per-batch word DICTIONARY
+    (vocabulary-bounded rows move, never token occurrences; at vocabularies
+    too big to merge driver-side the escalation is the same hash-bucketed
+    distinct exchange the digest dedup uses), the driver sorts once and
+    broadcasts the vocab array, and encoding is one searchsorted per batch.
+    Output is per-doc encoding invariants (count/sum/distinct/min/max of
+    token ids) so the oracle verifies the complete id assignment without
+    shipping list columns through the compare."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    def batch_vocab(batch: pa.Table) -> pa.Table:
+        _, _, dict_strs = _split_tokens(batch["text"])
+        return pa.table({"word": pa.array(sorted(set(dict_strs)), type=pa.string())})
+
+    vt = _collect(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            batch_vocab, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    vocab = np.unique(np.asarray(vt["word"].to_pylist(), dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    def encode(batch: pa.Table, ref=vocab_ref) -> pa.Table:
+        from seronet_data_validator_ray.stages.evaluate import _resolve_broadcast
+
+        vo = _resolve_broadcast(ref)
+        lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+        tid_of_dict = np.searchsorted(vo, np.asarray(dict_strs, dtype=object))
+        tids = tid_of_dict[tok_ids]
+        n = len(lengths)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        token_sum = np.bincount(row_of, weights=tids, minlength=n).astype(np.int64)
+        # distinct ids per row via one composite unique (ids < 2^32)
+        comp = np.unique((row_of << np.int64(32)) | tids.astype(np.int64))
+        n_distinct = np.bincount(comp >> np.int64(32), minlength=n).astype(np.int64)
+        mins = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(mins, row_of, tids)
+        maxs = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(maxs, row_of, tids)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(lengths.astype(np.int64), type=pa.int64()),
+                "token_sum": pa.array(token_sum, type=pa.int64()),
+                "n_distinct_tok": pa.array(n_distinct, type=pa.int64()),
+                "min_tid": pa.array(mins, type=pa.int64()),
+                "max_tid": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+    return _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            encode, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+
 _SOURCE_OVERLAP_SQL = """
 WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
 sh AS (

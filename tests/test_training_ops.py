@@ -1141,6 +1141,10 @@ def test_combiner_queries_block_invariant(ray_session):
         "pricing_summary", "events_value_histogram", "orders_yoy",
         "events_wau", "events_retention", "events_anomaly",
         "docs_sample_topk_hash", "stats_lineitem",
+        # round-4 continuation combiner/exchange shapes
+        "docs_quota_sample", "customer_mode_segment", "events_mad_outliers",
+        "part_pareto_frontier", "events_cumulative_users", "events_top_paths",
+        "docs_vocab_encode", "seq_dedup_tokens",
     ]
     sf = "/root/testdata/sf0.001"
     base = {n: qs[n](sf).to_pandas() for n in names}

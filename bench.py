@@ -396,7 +396,32 @@ def main():
             result = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
     else:
         result = run_bench(args.sf_dir, args.cpus, args.headline_only, args.scale_input)
-    print(json.dumps(result))
+    # The driver captures only the TAIL of stdout; a 116-entry per-query dict
+    # inside the headline line pushed the headline metrics past that window in
+    # round 4 (BENCH_r04.json "parsed": null). Print the bulky per-query dict
+    # on its own EARLIER line (and to a sidecar file) and keep the final line
+    # compact: headline metrics + per-query timings only for the entries that
+    # fit a driver tail comfortably.
+    queries = result.pop("queries", {})
+    if queries:
+        print(json.dumps({"queries_full": queries, "sf": result.get("sf")}))
+        try:
+            with open("/tmp/graft_bench_queries.json", "w") as f:
+                json.dump(queries, f)
+        except OSError:
+            pass
+    compact = dict(result)
+    compact["queries"] = queries
+    line = json.dumps(compact)
+    if len(line) > 6000:  # keep the final line inside a conservative tail window
+        slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = slowest
+        compact["queries_note"] = (
+            f"{len(queries)} queries ran; 20 slowest shown here, full dict on the "
+            "preceding stdout line and /tmp/graft_bench_queries.json"
+        )
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1287,50 +1287,95 @@ FROM j GROUP BY user_id
 """
 
 
-@query("events_funnel", _FUNNEL_SQL)
-def events_funnel(sf_dir: str) -> pa.Table:
-    """Funnel conversion (view → purchase within 1 hour, per user): the
-    ordered-step window family. Filter to the two step types AT THE READ,
-    one groupby(user) shuffle, then a vectorized per-group existence probe:
-    searchsorted of each purchase ts against the user's sorted view ts —
-    a view exists in (p-1h, p] iff the count of views ≤ p.ts exceeds the
-    count of views ≤ p.ts-1h."""
+_FUNNEL_WINDOW_US = 3_600_000_000
+
+
+def _funnel_reduce(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+    """Per-bucket funnel conversion, vectorized across EVERY user in the
+    bucket at once (no per-group Python callback — the r4 verdict's 10⁹-user
+    fix, same family as ``_asof_reduce``): lexsort all rows by (user, ts,
+    view-before-purchase), turn view positions into a running maximum, and a
+    purchase converts iff its latest at-or-before view belongs to the same
+    user AND lies inside the 1-hour window. Per-user counts then fall out of
+    one np.unique + two bincounts. O(n log n) per bucket regardless of
+    per-user skew."""
     import numpy as np
 
-    WINDOW_US = 3_600_000_000
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("n_converted", pa.int64()),
+        ]
+    )
+    parts = [p for p in parts if p is not None and len(p)]
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables(parts)
+    user = t["bkey"].to_numpy(zero_copy_only=False)
+    ts = t["ts_us"].to_numpy(zero_copy_only=False)
+    is_p = t["is_purchase"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((is_p, ts, user))  # views sort before purchases on ts ties (<= is inclusive)
+    u_s, ts_s, p_s = user[order], ts[order], is_p[order]
+    pur = np.flatnonzero(p_s)
+    if not len(pur):
+        return schema.empty_table()
+    idx = np.arange(len(u_s), dtype=np.int64)
+    last_view = np.maximum.accumulate(np.where(~p_s, idx, -1))
+    match = last_view[pur]
+    # match == -1 indexes the array tail; the (match >= 0) term masks it out
+    conv = (
+        (match >= 0)
+        & (u_s[match] == u_s[pur])
+        & (ts_s[match] > ts_s[pur] - _FUNNEL_WINDOW_US)
+    )
+    uniq, inv = np.unique(u_s[pur], return_inverse=True)
+    return pa.table(
+        {
+            "user_id": pa.array(uniq, type=pa.int64()),
+            "n_purchases": pa.array(np.bincount(inv, minlength=len(uniq)), type=pa.int64()),
+            "n_converted": pa.array(
+                np.bincount(inv[conv], minlength=len(uniq)), type=pa.int64()
+            ),
+        }
+    )
 
-    def probe(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("i8")
-        is_p = pc.equal(g["event_type"], "purchase").to_numpy(zero_copy_only=False)
-        p_ts = ts[is_p]
-        v_ts = np.sort(ts[~is_p])
-        hi = np.searchsorted(v_ts, p_ts, side="right")
-        lo = np.searchsorted(v_ts, p_ts - WINDOW_US, side="right")
-        if not len(p_ts):
-            return pa.table(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "n_purchases": pa.array([], type=pa.int64()),
-                    "n_converted": pa.array([], type=pa.int64()),
-                }
-            )
+
+@query("events_funnel", _FUNNEL_SQL)
+def events_funnel(sf_dir: str, driver_max_rows: int | None = None) -> pa.Table:
+    """Funnel conversion (view → purchase within 1 hour, per user): the
+    ordered-step window family. Filter to the two step types per batch and
+    project to 17 B rows (bkey=user, ts_us, side bit), then the SAME
+    user-hash bucketed raw-Ray exchange the sessionize / asof / wau family
+    uses — no Dataset groupby, no per-group Python call — with the fully
+    vectorized running-max probe in ``_funnel_reduce``.
+
+    Partitioning assumption: one USER's rows meet in one reducer (hash of
+    user routes both sides together), so per-user output rows are disjoint
+    across buckets and concatenate without dedup. ``driver_max_rows=0``
+    forces the exchange path (parity-tested against the driver path)."""
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], pa.array(["purchase", "view"]))
+        b = batch.filter(keep)
         return pa.table(
             {
-                "user_id": g["user_id"].slice(0, 1).combine_chunks()
-                if isinstance(g["user_id"], pa.ChunkedArray)
-                else g["user_id"].slice(0, 1),
-                "n_purchases": pa.array([len(p_ts)], type=pa.int64()),
-                "n_converted": pa.array([int((hi > lo).sum())], type=pa.int64()),
+                "bkey": pc.cast(b["user_id"], pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "is_purchase": pc.equal(b["event_type"], "purchase"),
             }
         )
 
-    ds = (
-        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-        .filter(expr="event_type == 'purchase' or event_type == 'view'")
-        .groupby("user_id")
-        .map_groups(probe, batch_format="pyarrow")
+    out = _bucketed_pair_exchange(
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _funnel_reduce,
+        driver_max_rows=driver_max_rows,
+        distinct_output=False,  # each user reduces in exactly one bucket
     )
-    return _ds_table(ds).sort_by([("user_id", "ascending")])
+    return out.sort_by([("user_id", "ascending")])
 
 
 @query(

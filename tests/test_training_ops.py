@@ -906,6 +906,67 @@ def test_asof_join_exchange_path_matches_driver(ray_session):
     assert small.equals(big)
 
 
+def test_funnel_exchange_path_matches_driver(ray_session):
+    """events_funnel through the forced user-hash bucketed exchange
+    (driver_max_rows=0) must equal the driver-reduce path row-for-row —
+    the multi-bucket routing (all of one user's views and purchases meeting
+    in one reducer) is what sf0.01 driver-path parity alone doesn't
+    exercise."""
+    from seronet_data_validator_ray.pipelines.table_queries import events_funnel
+
+    small = events_funnel(SF).to_pandas()
+    big = events_funnel(SF, driver_max_rows=0).to_pandas()
+    assert len(small) > 0
+    assert (small["n_converted"] <= small["n_purchases"]).all()
+    assert small.equals(big)
+
+
+def test_funnel_window_edges(ray_session, tmp_path):
+    """Planted fixture driving the window boundaries: a view exactly at
+    p.ts counts (inclusive upper), exactly at p.ts - 1h does NOT (strict
+    lower), one microsecond inside does, and a view AFTER the purchase never
+    counts. Users with only views emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.pipelines.table_queries import events_funnel
+
+    H = 3_600_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: view at p.ts (counts) -> converted
+        (1, "view", base), (1, "purchase", base),
+        # user 2: view exactly 1h before (strict lower bound -> NOT counted)
+        (2, "view", base - H), (2, "purchase", base),
+        # user 3: view 1h - 1us before (inside window) -> converted
+        (3, "view", base - H + 1), (3, "purchase", base),
+        # user 4: view after the purchase -> not converted
+        (4, "purchase", base), (4, "view", base + 1),
+        # user 5: views only -> no output row
+        (5, "view", base),
+        # user 6: two purchases, one converted
+        (6, "view", base), (6, "purchase", base + 1), (6, "purchase", base + H + 2),
+        # noise type filtered at the emit
+        (1, "click", base),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = events_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.index.tolist() == [1, 2, 3, 4, 6]
+    assert out.loc[1, "n_converted"] == 1
+    assert out.loc[2, "n_converted"] == 0
+    assert out.loc[3, "n_converted"] == 1
+    assert out.loc[4, "n_converted"] == 0
+    assert out.loc[6, "n_purchases"] == 2 and out.loc[6, "n_converted"] == 1
+
+
 def test_group_median_degenerate_distributions(ray_session, tmp_path):
     """percentile_disc(0.5) rank rule (sorted[(n-1)//2]) on single-row,
     all-equal, even- and odd-count groups."""

@@ -675,26 +675,71 @@ SELECT lang, doc_id, n_chars FROM (
 """
 
 
+def _seg_topk_keep(codes, sort_keys, k: int):
+    """Indices of the k rank-smallest rows per group: lexsort by (group code,
+    *sort_keys), then positional rank within each group segment. One
+    vectorized pass; output is ≤ k · n_groups rows regardless of input size."""
+    import numpy as np
+
+    order = np.lexsort((*sort_keys, codes))
+    codes_sorted = codes[order]
+    n_groups = int(codes.max()) + 1 if len(codes) else 0
+    starts = np.zeros(n_groups, dtype=np.int64)
+    seg_first = np.unique(codes_sorted, return_index=True)[1]
+    starts[codes_sorted[seg_first]] = seg_first
+    pos = np.arange(len(order)) - starts[codes_sorted]
+    return order[pos < k]
+
+
 @query("docs_stratified_sample", _STRATIFIED_SQL)
 def docs_stratified_sample(sf_dir: str) -> pa.Table:
-    """Deterministic stratified sample: first 5 doc_ids per language via
-    groupby(lang).map_groups — the per-group limit/sampling family
-    (SURVEY §2.7 notes the reference has none; a corpus pipeline needs it
-    for per-slice inspection sets)."""
+    """Deterministic stratified sample: first 5 doc_ids per language — the
+    per-group limit/sampling family (SURVEY §2.7 notes the reference has
+    none; a corpus pipeline needs it for per-slice inspection sets).
+
+    Scale shape (r4 verdict item #6 — was groupby(lang).map_groups, which
+    serializes a hot language's ENTIRE row set through one reducer; English
+    is 40-60% of a web corpus): the same k-bounded combiner machinery as
+    docs_quota_sample. Each block reduces to ≤ k rows per language present
+    in the block (k × n_langs-bounded partials are the only data that moves
+    — no shuffle at all), the driver merges and re-cuts with the identical
+    rank rule. Partial size is governed by language cardinality, never by
+    row count or language skew."""
     import numpy as np
 
     K = 5
 
-    def head_k(g: pa.Table) -> pa.Table:
-        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False), kind="stable")[:K]
-        return g.take(pa.array(order)).select(["lang", "doc_id", "n_chars"])
+    def head_k(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        _, codes = np.unique(lang, return_inverse=True)
+        keep = _seg_topk_keep(codes, (ids,), K)
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep].astype(str), type=pa.string()),
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()).take(pa.array(keep)),
+            }
+        )
 
-    ds = (
-        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-        .groupby("lang")
-        .map_groups(head_k, batch_format="pyarrow")
+    t = _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).map_batches(
+            head_k, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    return _collect(ds)
+    # driver re-cut: same per-language rank rule over the k × n_blocks partials
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+    _, codes = np.unique(lang, return_inverse=True)
+    keep = _seg_topk_keep(codes, (ids,), K)
+    keep = keep[np.lexsort((ids[keep], codes[keep]))]
+    return pa.table(
+        {
+            "lang": pa.array(lang[keep].astype(str), type=pa.string()),
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()).take(pa.array(keep)),
+        }
+    )
 
 
 # ---------------------------------------------------------- word repetition
@@ -2197,15 +2242,9 @@ def docs_quota_sample(sf_dir: str) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
         h = (ids * np.int64(2654435761)) % np.int64(4294967296)
-        uniq, codes = np.unique(src, return_inverse=True)
-        order = np.lexsort((ids, h, codes))
-        codes_sorted = codes[order]
+        _, codes = np.unique(src, return_inverse=True)
         # rank within each source segment; keep the k smallest per source
-        starts = np.zeros(len(uniq), dtype=np.int64)
-        seg_first = np.unique(codes_sorted, return_index=True)[1]
-        starts[codes_sorted[seg_first]] = seg_first
-        pos = np.arange(len(order)) - starts[codes_sorted]
-        keep = order[pos < K]
+        keep = _seg_topk_keep(codes, (ids, h), K)
         return pa.table(
             {
                 "source": pa.array(src[keep].astype(str), type=pa.string()),
@@ -2223,14 +2262,8 @@ def docs_quota_sample(sf_dir: str) -> pa.Table:
     src = np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     h = t["rank_h"].to_numpy(zero_copy_only=False)
-    uniq, codes = np.unique(src, return_inverse=True)
-    order = np.lexsort((ids, h, codes))
-    codes_sorted = codes[order]
-    starts = np.zeros(len(uniq), dtype=np.int64)
-    seg_first = np.unique(codes_sorted, return_index=True)[1]
-    starts[codes_sorted[seg_first]] = seg_first
-    pos = np.arange(len(order)) - starts[codes_sorted]
-    keep = order[pos < K]
+    _, codes = np.unique(src, return_inverse=True)
+    keep = _seg_topk_keep(codes, (ids, h), K)
     keep = keep[np.lexsort((ids[keep], h[keep], codes[keep]))]
     return pa.table(
         {

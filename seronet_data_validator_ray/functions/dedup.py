@@ -359,6 +359,40 @@ def _hot_jaccard_shard(doc_a, sz_a, doc_b, sz_b, state) -> pa.Table:
     return _emit_jaccard(lo[keep], hi[keep], state)
 
 
+def _hot_jaccard_shard_sided(doc_a, sz_a, new_a, doc_b, sz_b, new_b, state) -> pa.Table:
+    """Sided variant of ``_hot_jaccard_shard`` for the incremental exchange:
+    identical shard-pair enumeration, but pairs touching NO new-side row
+    (prior–prior) are masked before any pair row materializes — a refreshed
+    corpus' internal pairs were found by its own run and never re-emit."""
+    if doc_b is None:
+        d, s, nw, tag = doc_a, sz_a, new_a, None
+    else:
+        d = np.concatenate([doc_a, doc_b])
+        s = np.concatenate([sz_a, sz_b]) if sz_a is not None else None
+        nw = np.concatenate([new_a, new_b])
+        tag = np.concatenate(
+            [np.zeros(len(doc_a), dtype=np.int8), np.ones(len(doc_b), dtype=np.int8)]
+        )
+    if s is not None:
+        order = np.argsort(s, kind="stable")
+        a_idx, b_idx = _windowed_pairs(np.zeros(len(d), dtype=np.int64), s[order])
+    else:
+        order = np.arange(len(d), dtype=np.int64)
+        a_idx, b_idx = _segment_pairs(np.zeros(len(d), dtype=np.int64))
+    if not len(a_idx):
+        return _EMPTY_CAND if state is None else _EMPTY_PAIRS
+    if tag is not None:
+        cross = tag[order][a_idx] != tag[order][b_idx]
+        a_idx, b_idx = a_idx[cross], b_idx[cross]
+    nw_o = nw[order]
+    touch_new = nw_o[a_idx] | nw_o[b_idx]
+    a_idx, b_idx = a_idx[touch_new], b_idx[touch_new]
+    da, db = d[order][a_idx], d[order][b_idx]
+    lo, hi = np.minimum(da, db), np.maximum(da, db)
+    keep = lo < hi
+    return _emit_jaccard(lo[keep], hi[keep], state)
+
+
 def _salt_hot_segments(
     arrays: dict[str, np.ndarray],
     seg_starts: np.ndarray,
@@ -407,7 +441,12 @@ def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) ->
     Block-key segments above ``hot_rows`` (a boilerplate prefix / hot LSH
     bucket) are NOT enumerated here: they are salted over shard-pair
     subtasks (ray releases this worker's CPU while it blocks on them), so no
-    single reducer ever owns a quadratic hot bucket."""
+    single reducer ever owns a quadratic hot bucket.
+
+    Sided (incremental) mode: when the emitted rows carry a bool ``new``
+    column, pairs touching NO new-side row (prior–prior) are masked before
+    any pair row materializes — the two-sided band-bucket exchange behind
+    dedup_minhash_incremental."""
     import ray
 
     verified = state is not None or state_ref is not None
@@ -422,6 +461,8 @@ def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) ->
     t = pa.concat_tables(parts)
     bkey = t["bkey"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    has_new = "new" in t.column_names
+    nw = t["new"].to_numpy(zero_copy_only=False) if has_new else None
     has_sz = "sz" in t.column_names
     if has_sz:
         sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -432,6 +473,7 @@ def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) ->
         sz_s = None
     bk_s = bkey[order]
     doc_s = doc[order]
+    nw_s = nw[order] if has_new else None
     m = len(bk_s)
     new_seg = np.ones(m, dtype=bool)
     if m > 1:
@@ -447,19 +489,26 @@ def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) ->
         state_arg = state_ref[0] if state_ref is not None else (
             ray.put(state) if state is not None else None
         )
+        arrays = {"doc": doc_s, "sz": sz_s}
+        if has_new:
+            arrays["new"] = nw_s
         sub_refs = _salt_hot_segments(
-            {"doc": doc_s, "sz": sz_s},
+            arrays,
             seg_starts,
             seg_sizes,
             hot_rows,
             max(1, hot_rows // 2) if hot_rows < HOT_SHARD_ROWS else HOT_SHARD_ROWS,
-            _hot_remote("jaccard", _hot_jaccard_shard),
+            _hot_remote("jaccard_sided", _hot_jaccard_shard_sided)
+            if has_new
+            else _hot_remote("jaccard", _hot_jaccard_shard),
             state_arg,
         )
         cold = np.nonzero(~hot_mask)[0]
         bk_s, doc_s = bk_s[cold], doc_s[cold]
         if sz_s is not None:
             sz_s = sz_s[cold]
+        if nw_s is not None:
+            nw_s = nw_s[cold]
         seg_ids = seg_ids[cold]
 
     if len(bk_s):
@@ -468,6 +517,9 @@ def _reduce_jaccard_bucket(*parts, state=None, state_ref=None, hot_rows=None) ->
         else:
             a_idx, b_idx = _segment_pairs(bk_s)
         if len(a_idx):
+            if nw_s is not None:
+                touch_new = nw_s[a_idx] | nw_s[b_idx]
+                a_idx, b_idx = a_idx[touch_new], b_idx[touch_new]
             da, db = doc_s[a_idx], doc_s[b_idx]
             lo, hi = np.minimum(da, db), np.maximum(da, db)
             keep = lo < hi
@@ -1006,6 +1058,56 @@ def minhash_lsh_pairs(
         emitted, _reduce_jaccard_bucket, hot_rows=hot_rows, driver_max_rows=driver_max_rows
     )
     return _sorted_pairs(_verify_candidates(cand, docs))
+
+
+def minhash_band_keys(docs_ds):
+    """The persistable per-corpus LSH state: (bkey, doc_id, sz) band-key rows
+    (16 LIGHT rows per doc). A corpus snapshot writes this table once; every
+    later shard refresh deduplicates against the KEYS — the raw prior text is
+    only touched for candidate-sized exact verification."""
+    return docs_ds.map_batches(
+        minhash_emit_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _tag_side(batch: pa.Table, is_new: bool) -> pa.Table:
+    return batch.append_column(
+        "new", pa.array(np.full(batch.num_rows, is_new, dtype=bool))
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs_ds,
+    prior_keys_ds,
+    union_docs_ds,
+    hot_rows: int | None = None,
+    driver_max_rows: int | None = None,
+) -> pa.Table:
+    """Incremental FUZZY dedup: near-dup pairs of a NEW shard against a prior
+    corpus' persisted band keys (plus new–new pairs), at the same tau as
+    minhash_lsh_pairs. Two-sided band-bucket exchange: fresh signatures for
+    the new shard union the prior KEY table (no prior text is read for
+    candidate generation), the sided reducer masks prior–prior pairs before
+    any pair row materializes, and survivors exact-Jaccard verify against a
+    candidate-sized pruned token fetch from ``union_docs_ds`` (in production,
+    the prior side of that fetch is the corpus store keyed by doc_id).
+
+    Equivalent by construction to running minhash_lsh_pairs on new ∪ prior
+    and keeping pairs with ≥ 1 new-side doc: bucket keys depend only on
+    signatures, which are identical in both runs (parity-tested)."""
+    new_emit = minhash_band_keys(new_docs_ds).map_batches(
+        _tag_side, fn_kwargs={"is_new": True}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    prior_emit = prior_keys_ds.map_batches(
+        _tag_side, fn_kwargs={"is_new": False}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = _bucketed_pair_exchange(
+        new_emit.union(prior_emit),
+        _reduce_jaccard_bucket,
+        hot_rows=hot_rows,
+        driver_max_rows=driver_max_rows,
+    )
+    return _sorted_pairs(_verify_candidates(cand, union_docs_ds))
 
 
 # ------------------------------------------------------------- SimHash

@@ -265,6 +265,71 @@ def dedup_minhash_lsh_salted(sf_dir: str) -> pa.Table:
     return dedup.minhash_lsh_pairs(sf_dir, hot_rows=256, driver_max_rows=0)
 
 
+_MINHASH_INCR_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS i,
+         CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS u
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, (10000 * i) // u AS jac_bp
+FROM pairs
+WHERE 10 * i >= 9 * u AND (doc_id_a % 3 <> 0 OR doc_id_b % 3 <> 0)
+"""
+
+
+@query("dedup_minhash_incremental", _MINHASH_INCR_SQL)
+def dedup_minhash_incremental(
+    sf_dir: str, hot_rows: int | None = None, driver_max_rows: int | None = None
+) -> pa.Table:
+    """Incremental FUZZY dedup (r4 verdict item #5): near-dup pairs of a NEW
+    shard (doc_id % 3 != 0, matching docs_dedup_incremental's split) against
+    a PRIOR corpus' (doc_id % 3 == 0) PERSISTED band keys — the real corpus-
+    refresh shape, where the prior side exists only as its stored LSH state.
+    The prior key table is written to parquet once per sf input (simulating
+    the prior run's snapshot) and read back for the two-sided exchange; see
+    functions/dedup.py minhash_incremental_pairs for the plan. Oracle = the
+    all-pairs Jaccard join restricted to pairs touching ≥ 1 new-side doc
+    (exact because minhash false negatives don't occur on the seeded corpus,
+    same standing as dedup_minhash_lsh's oracle). (Reference analog: the
+    incremental summary-workbook skip loop, Data_Validation_v2.py:170-192.)"""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from seronet_data_validator_ray.functions import dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(batch: pa.Table, keep_prior: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 3 == 0) if keep_prior else (ids % 3 != 0)
+        return batch.filter(pa.array(mask))
+
+    prior_docs = docs.map_batches(
+        side, fn_kwargs={"keep_prior": True}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    new_docs = docs.map_batches(
+        side, fn_kwargs={"keep_prior": False}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tag = hashlib.blake2b(os.path.abspath(sf_dir).encode(), digest_size=8).hexdigest()
+    key_dir = f"/tmp/graft_minhash_keys/{tag}"
+    if not os.path.isdir(key_dir):
+        tmp_dir = f"{key_dir}.tmp{os.getpid()}"
+        dedup.minhash_band_keys(prior_docs).write_parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, key_dir)  # atomic vs a concurrent writer
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    prior_keys = ray.data.read_parquet(key_dir)
+    return dedup.minhash_incremental_pairs(
+        new_docs, prior_keys, docs, hot_rows=hot_rows, driver_max_rows=driver_max_rows
+    )
+
+
 @query("dedup_simhash", None)
 def dedup_simhash(sf_dir: str) -> pa.Table:
     """SimHash-64 near-dup pairs at hamming<=3 via pigeonhole band blocking
@@ -956,28 +1021,25 @@ FROM toks t LEFT JOIN (
 _NGRAM_SCHEMA = {"bkey": pa.int64(), "doc_id": pa.int64(), "npos": pa.int64()}
 
 
-def _ngram_emit(batch: pa.Table) -> pa.Table:
-    """Distinct (8-gram rolling hash, doc, position count) rows per batch —
-    one dictionary blake2b per distinct word, K vectorized u64 polynomial
-    steps per gram, no Python over positions. 24 B/row into the exchange."""
+def _gram_hashes(lengths, tok_ids, dict_strs):
+    """Flat u64 polynomial hash of every K-gram in the batch: returns
+    (acc, pos, row_idx) where ``pos`` is each gram's start index into the
+    FLAT word array and ``row_idx`` its document row. One dictionary blake2b
+    per distinct word, K vectorized u64 steps per gram, no Python over
+    positions."""
     import numpy as np
 
     from seronet_data_validator_ray.functions.dedup import (
         _hash_dictionary,
         _offsets_of,
-        _split_tokens,
     )
 
-    empty = pa.table({k: pa.array([], type=v) for k, v in _NGRAM_SCHEMA.items()})
-    lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
-    if not dict_strs or not len(lengths):
-        return empty
     K = _NGRAM_K
     n_ng = np.maximum(lengths - (K - 1), 0)
     total = int(n_ng.sum())
-    if total == 0:
-        return empty
-    doc = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    if total == 0 or not dict_strs:
+        z64 = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z64, z64
     H = _hash_dictionary(dict_strs)[tok_ids]
     offs = _offsets_of(lengths)
     row_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), n_ng)
@@ -988,6 +1050,25 @@ def _ngram_emit(batch: pa.Table) -> pa.Table:
     acc = np.zeros(total, dtype=np.uint64)
     for j in range(K):
         acc = acc * P + H[pos + j]
+    return acc, pos, row_idx
+
+
+def _ngram_emit(batch: pa.Table) -> pa.Table:
+    """Distinct (8-gram rolling hash, doc, position count) rows per batch.
+    24 B/row into the exchange."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions.dedup import _split_tokens
+
+    empty = pa.table({k: pa.array([], type=v) for k, v in _NGRAM_SCHEMA.items()})
+    lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+    if not dict_strs or not len(lengths):
+        return empty
+    acc, _pos, row_idx = _gram_hashes(lengths, tok_ids, dict_strs)
+    total = len(acc)
+    if total == 0:
+        return empty
+    doc = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.lexsort((acc, row_idx))
     a_s, r_s = acc[order], row_idx[order]
     new = np.r_[True, (a_s[1:] != a_s[:-1]) | (r_s[1:] != r_s[:-1])]
@@ -1081,6 +1162,133 @@ def docs_dup_ngrams(sf_dir: str) -> pa.Table:
             "n_ngrams": joined["n_ngrams"],
             "n_dup_ngrams": pc.fill_null(joined["npos_sum"], 0),
         }
+    )
+    return out.sort_by([("doc_id", "ascending")])
+
+
+# ----------------------------------------------------- duplicated-span REMOVAL
+
+_DEDUP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(1, len(ws) - {_NGRAM_K - 2})) AS s,
+         unnest(list_transform(range(1, len(ws) - {_NGRAM_K - 2}), i ->
+                array_to_string(list_slice(ws, i, i + {_NGRAM_K - 1}), ' '))) AS gram
+  FROM toks
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+cov AS (SELECT DISTINCT wo.doc_id, wo.i
+        FROM words wo JOIN hits h ON wo.doc_id = h.doc_id
+        AND wo.i BETWEEN h.s AND h.s + {_NGRAM_K - 1})
+SELECT wo.doc_id,
+       COALESCE(string_agg(CASE WHEN c.i IS NULL THEN wo.w END, ' ' ORDER BY wo.i), '') AS text_clean,
+       CAST(count(c.i) AS BIGINT) AS n_removed
+FROM words wo LEFT JOIN cov c ON wo.doc_id = c.doc_id AND wo.i = c.i
+GROUP BY wo.doc_id
+ORDER BY wo.doc_id
+"""
+
+
+def _span_rewrite(batch: pa.Table, dup_ref=None) -> pa.Table:
+    """Per-batch span excision against the broadcast dup-fingerprint set:
+    recompute the batch's gram hashes, mark duplicated starts by one
+    searchsorted probe, turn starts into word coverage with a difference
+    array (+1 at s, -1 at s+K, cumsum>0 — gram spans never cross a doc
+    boundary so no per-doc reset is needed), and rebuild the surviving text
+    with a vectorized Arrow list-join. No Python over words anywhere."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _offsets_of, _split_tokens
+
+    dup_sorted = ray.get(dup_ref[0]) if dup_ref is not None else np.zeros(0, np.uint64)
+    lengths, tok_ids, dict_strs = _split_tokens(batch["text"])
+    n = len(lengths)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text_clean": pa.array([], type=pa.string()),
+                "n_removed": pa.array([], type=pa.int64()),
+            }
+        )
+    offs = _offsets_of(lengths)
+    total_words = int(offs[-1])
+    K = _NGRAM_K
+    keep = np.ones(total_words, dtype=bool)
+    if len(dup_sorted):
+        acc, pos, _row = _gram_hashes(lengths, tok_ids, dict_strs)
+        if len(acc):
+            loc = np.searchsorted(dup_sorted, acc)
+            loc_c = np.minimum(loc, len(dup_sorted) - 1)
+            f = pos[dup_sorted[loc_c] == acc]  # flat word index of each dup-gram start
+            if len(f):
+                delta = np.bincount(f, minlength=total_words + 1) - np.bincount(
+                    f + K, minlength=total_words + 1
+                )
+                keep = np.cumsum(delta[:total_words]) == 0
+    ck = np.zeros(total_words + 1, dtype=np.int64)
+    np.cumsum(keep, out=ck[1:])
+    per_doc_keep = ck[offs[1:]] - ck[offs[:-1]]
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(per_doc_keep, out=out_offsets[1:])
+    vals = pc.cast(
+        pa.DictionaryArray.from_arrays(
+            pa.array(tok_ids[keep], type=pa.int32()), pa.array(dict_strs, type=pa.string())
+        ),
+        pa.string(),
+    )
+    list_arr = pa.ListArray.from_arrays(pa.array(out_offsets, type=pa.int64()).cast(pa.int32()), vals)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "text_clean": pc.binary_join(list_arr, " "),
+            "n_removed": pa.array((lengths - per_doc_keep).astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+@query("docs_dedup_spans", _DEDUP_SPANS_SQL)
+def docs_dedup_spans(sf_dir: str) -> pa.Table:
+    """Duplicated-span REMOVAL — the Lee et al. action on top of
+    docs_dup_ngrams' detection (r4 verdict item #4, completing
+    detection→action the way dedup_clusters did for MinHash): every word
+    covered by an 8-gram that also appears in ANOTHER document is excised,
+    and the rewritten text is emitted.
+
+    Plan shape: phase 1 is exactly the docs_dup_ngrams exchange (distinct
+    (gram-hash, doc, npos) 24 B rows → bucketed exchange → grams with ≥ 2
+    distinct docs); the surviving DISTINCT fingerprints broadcast once via
+    ray.put (sized by duplicated-gram cardinality, far below corpus size —
+    at extreme scale this becomes a doc_id-co-partitioned join, the dup rows
+    are already doc-keyed); phase 2 re-scans documents and rewrites each
+    batch vectorized (_span_rewrite). A removed span is covered in EVERY doc
+    containing it (both copies go — the symmetric formulation, mirrored
+    exactly by the oracle). 64-bit fingerprints stand in for gram strings;
+    a collision is a spurious removal (same tradeoff as docs_dup_ngrams,
+    detectable as an oracle mismatch — none at test scales)."""
+    import numpy as np
+    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _ngram_emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_rows = _bucketed_pair_exchange(ds, _ngram_reduce)
+    dup_sorted = np.unique(
+        dup_rows["bkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+    dup_ref = [ray.put(dup_sorted)]
+    out = _collect(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            _span_rewrite,
+            fn_kwargs={"dup_ref": dup_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     return out.sort_by([("doc_id", "ascending")])
 

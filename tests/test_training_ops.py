@@ -654,6 +654,42 @@ def test_dup_ngrams_invariants(ray_session):
     assert 0 < (t.n_dup_ngrams > 0).sum() < len(t)
 
 
+def test_dedup_spans_planted_rewrite(ray_session, tmp_path):
+    """Exact rewritten text on a planted corpus: docs 1 and 2 share one
+    8-word span (both copies excised, per-side context kept), doc 3 shares
+    nothing (unchanged), doc 4 is one giant duplicated span of doc 1's
+    (rewritten to empty). Removal is the union of covering 8-gram windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seronet_data_validator_ray.functions.op_queries import REGISTRY
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    texts = {
+        1: f"alpha beta {span} gamma delta",
+        2: f"left {span} right",
+        3: "nothing shared here at all in this document",
+        4: span,
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = (
+        REGISTRY["docs_dedup_spans"][0](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text_clean"] == "alpha beta gamma delta"
+    assert out.loc[1, "n_removed"] == 8
+    assert out.loc[2, "text_clean"] == "left right"
+    assert out.loc[3, "text_clean"] == texts[3] and out.loc[3, "n_removed"] == 0
+    assert out.loc[4, "text_clean"] == "" and out.loc[4, "n_removed"] == 8
+
+
 def test_tfidf_topk_per_doc(ray_session):
     """docs_tfidf returns at most K rows per doc, scores are the exact
     integer surrogate tf*1e6//df, and every df is a plausible corpus DF."""
@@ -904,6 +940,29 @@ def test_asof_join_exchange_path_matches_driver(ray_session):
     )
     assert len(small) > 0
     assert small.equals(big)
+
+
+def test_minhash_incremental_union_parity(ray_session):
+    """dedup_minhash_incremental (new shard vs the prior corpus' persisted
+    band keys) must equal minhash_lsh_pairs on the UNION corpus restricted to
+    pairs touching >= 1 new-side doc — bucket keys depend only on signatures,
+    identical in both runs. Also forces the exchange + sided hot-bucket
+    salting path and requires bit-identical output."""
+    from seronet_data_validator_ray.functions import dedup
+    from seronet_data_validator_ray.functions.op_queries import dedup_minhash_incremental
+
+    cols = ["doc_id_a", "doc_id_b", "jac_bp"]
+    inc = dedup_minhash_incremental(SF).to_pandas()[cols]
+    inc = inc.sort_values(cols).reset_index(drop=True)
+    assert len(inc) > 0
+    full = dedup.minhash_lsh_pairs(SF).to_pandas()
+    m = (full.doc_id_a % 3 != 0) | (full.doc_id_b % 3 != 0)
+    union_restricted = full[m][cols].sort_values(cols).reset_index(drop=True)
+    assert inc.equals(union_restricted)
+    # prior-prior pairs exist in the union run and are correctly absent here
+    assert (~m).sum() > 0
+    salted = dedup_minhash_incremental(SF, hot_rows=64, driver_max_rows=0).to_pandas()[cols]
+    assert inc.equals(salted.sort_values(cols).reset_index(drop=True))
 
 
 def test_funnel_exchange_path_matches_driver(ray_session):

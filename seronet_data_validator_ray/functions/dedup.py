@@ -1094,18 +1094,31 @@ def minhash_incremental_pairs(
 
     Equivalent by construction to running minhash_lsh_pairs on new ∪ prior
     and keeping pairs with ≥ 1 new-side doc: bucket keys depend only on
-    signatures, which are identical in both runs (parity-tested)."""
+    signatures, which are identical in both runs (parity-tested).
+
+    Plan selection mirrors minhash_lsh_pairs: below the bitset budget the
+    union-corpus token bitsets broadcast once and pairs verify INSIDE the
+    sided reducers (reducer output is near-dup-sized, not candidate-sized);
+    above it, LIGHT candidates verify against a candidate-sized pruned
+    fetch — the only plan where the prior corpus is truly
+    signature-resident."""
     new_emit = minhash_band_keys(new_docs_ds).map_batches(
         _tag_side, fn_kwargs={"is_new": True}, batch_format="pyarrow", zero_copy_batch=True
     )
     prior_emit = prior_keys_ds.map_batches(
         _tag_side, fn_kwargs={"is_new": False}, batch_format="pyarrow", zero_copy_batch=True
     )
+    emitted = new_emit.union(prior_emit)
+    state = _corpus_bitset_state(union_docs_ds)
+    if state is not None:  # dense-corpus plan: verify inside the sided reducers
+        return _sorted_pairs(
+            _bucketed_pair_exchange(
+                emitted, _reduce_jaccard_bucket, state=state,
+                hot_rows=hot_rows, driver_max_rows=driver_max_rows,
+            )
+        )
     cand = _bucketed_pair_exchange(
-        new_emit.union(prior_emit),
-        _reduce_jaccard_bucket,
-        hot_rows=hot_rows,
-        driver_max_rows=driver_max_rows,
+        emitted, _reduce_jaccard_bucket, hot_rows=hot_rows, driver_max_rows=driver_max_rows
     )
     return _sorted_pairs(_verify_candidates(cand, union_docs_ds))
 

@@ -965,6 +965,22 @@ def test_minhash_incremental_union_parity(ray_session):
     assert inc.equals(salted.sort_values(cols).reset_index(drop=True))
 
 
+def test_minhash_incremental_two_phase_plan_matches(ray_session, monkeypatch):
+    """Force the sparse (signature-resident) plan — bitset budget 0, so
+    the sided reducers emit LIGHT candidates and exact verify runs against
+    the candidate-sized pruned fetch — and require bit-identical output to
+    the dense in-reducer-verify plan."""
+    from seronet_data_validator_ray.functions import dedup
+    from seronet_data_validator_ray.functions.op_queries import dedup_minhash_incremental
+
+    cols = ["doc_id_a", "doc_id_b", "jac_bp"]
+    dense = dedup_minhash_incremental(SF).to_pandas()[cols]
+    dense = dense.sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(dedup, "BITSET_BYTES_MAX", 0)
+    sparse = dedup_minhash_incremental(SF).to_pandas()[cols]
+    assert dense.equals(sparse.sort_values(cols).reset_index(drop=True))
+
+
 def test_funnel_exchange_path_matches_driver(ray_session):
     """events_funnel through the forced user-hash bucketed exchange
     (driver_max_rows=0) must equal the driver-reduce path row-for-row —

@@ -156,8 +156,10 @@ def kmeans_assignments(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> pa.
 
     from seronet_data_validator_ray.util import ds_to_table
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(
+        [os.path.join(sf_dir, "embeddings.parquet")], columns=["vec_id", "embedding"]
     )
     cents = kmeans_fit(ds, k=k, iters=iters)
     out = ds_to_table(

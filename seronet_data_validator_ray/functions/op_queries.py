@@ -324,7 +324,10 @@ def dedup_minhash_incremental(
             os.rename(tmp_dir, key_dir)  # atomic vs a concurrent writer
         except OSError:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-    prior_keys = ray.data.read_parquet(key_dir)
+    from seronet_data_validator_ray.sources.parquet import read_fused
+    import glob as _glob
+
+    prior_keys = read_fused(sorted(_glob.glob(os.path.join(key_dir, "*.parquet"))))
     return dedup.minhash_incremental_pairs(
         new_docs, prior_keys, docs, hot_rows=hot_rows, driver_max_rows=driver_max_rows
     )

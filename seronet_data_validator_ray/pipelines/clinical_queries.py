@@ -254,9 +254,9 @@ def status_normalize(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.util import ds_to_table
 
     d = ensure_clinical(sf_dir)
-    ds = ray.data.read_parquet(
-        os.path.join(d, "clinical.parquet"), columns=["row_id", "status"]
-    ).map_batches(
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused([os.path.join(d, "clinical.parquet")], columns=["row_id", "status"]).map_batches(
         lambda b: normalize_column_batch(b, "status", STATUS_CANON, 2),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -447,8 +447,10 @@ def pii_scrub(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.datagen import PII_EMAIL_RE, PII_ID_RE
     from seronet_data_validator_ray.util import ds_to_table
 
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
     d = ensure_pii_fixture(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(d, "pii_docs.parquet"))
+    ds = read_fused([os.path.join(d, "pii_docs.parquet")])
 
     def scrub(batch: pa.Table) -> pa.Table:
         text = batch["text"]

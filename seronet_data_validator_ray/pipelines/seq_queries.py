@@ -394,9 +394,11 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
     # _tagged_hist_partials); plan_read still gates schema-mismatch files
     import ray.data
 
-    ds = ray.data.read_parquet(
-        [f.path for f in plan.files if f.schema_ok], columns=["tokens", "source"]
-    ).map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(plan.files, columns=["tokens", "source"]).map_batches(
+        partial_hist, batch_format="pyarrow", zero_copy_batch=True
+    )
     # partials are <= n_sources * 64 rows per block: merge with one
     # driver-side Arrow group_by (Ray's distributed aggregate has a fixed
     # machinery cost that dwarfs this tiny payload — see BASELINE.md)
@@ -808,10 +810,11 @@ def _tagged_hist_partials(d: str, tag: str):
         t = _drift_hist_partial(batch)
         return t.append_column("corpus", pa.array([_tag] * len(t), type=pa.string()))
 
-    return ray.data.read_parquet(
-        [f.path for f in plan.files if f.schema_ok],
-        columns=["tokens", "n_tok", "source"],
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    return read_fused(plan.files, columns=["tokens", "n_tok", "source"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _source_hists_multi(dirs: dict[str, str]) -> dict[str, dict]:
@@ -1212,9 +1215,11 @@ def seq_oov_rate(sf_dir: str) -> pa.Table:
             }
         )
 
-    ds = ray.data.read_parquet(
-        [f.path for f in plan.files if f.schema_ok], columns=["tokens", "source"]
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(plan.files, columns=["tokens", "source"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
     from seronet_data_validator_ray.util import ds_to_table
 
     partials = ds_to_table(ds)
@@ -1320,9 +1325,11 @@ def seq_repetition_stats(sf_dir: str) -> pa.Table:
         )
         return out.filter(pa.array(keep))
 
-    ds = ray.data.read_parquet(
-        [f.path for f in plan.files if f.schema_ok], columns=["doc_id", "tokens"]
-    ).map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(plan.files, columns=["doc_id", "tokens"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
     from seronet_data_validator_ray.util import ds_to_table
 
     return ds_to_table(ds)
@@ -1363,7 +1370,7 @@ def seq_dedup_tokens(sf_dir: str) -> pa.Table:
 
     d = ensure_seq(sf_dir)
     plan = plan_read(d, SEQUENCES_SCHEMA)
-    ds = ray.data.read_parquet(
-        [f.path for f in plan.files if f.schema_ok], columns=["doc_id", "tokens"]
-    )
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(plan.files, columns=["doc_id", "tokens"])
     return token_dedup_groups(ds)

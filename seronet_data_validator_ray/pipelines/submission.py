@@ -228,9 +228,9 @@ def _table_files(spec: TableSpec) -> list[str]:
 
 
 def _table_ds(spec: TableSpec, columns: list[str]):
-    import ray.data
+    from seronet_data_validator_ray.sources.parquet import read_fused
 
-    return ray.data.read_parquet(_table_files(spec), columns=columns)
+    return read_fused(_table_files(spec), columns=columns)
 
 
 def _auto_partitions(*specs: TableSpec) -> int:

@@ -296,3 +296,49 @@ def read_with_provenance(
         batch_size=1,  # one read task per work item
         batch_format="pyarrow",
     )
+
+
+def read_fused(
+    files,
+    columns: list[str] | None = None,
+    min_parallel: int = 0,
+):
+    """``ray.data.read_parquet`` pinned to the input's natural row-group
+    parallelism (``override_num_blocks = Σ row groups``) so the read task
+    FUSES with the downstream ``map_batches``.
+
+    Ray's default read applies a split-for-parallelism factor to the read
+    output, which BLOCKS operator fusion: every decoded byte then round-trips
+    through the object store between ReadParquet and the first map stage. For
+    wide payload columns that round trip dominates — the sf1 sequences token
+    scan (2 GB decoded list<int32>) measured 22.4 s unfused vs 3.5 s fused at
+    row-group granularity on 32 CPUs. Row groups are parquet's natural split
+    unit, so pinning to their count loses no read parallelism on well-laid-out
+    input (this engine writes 8k-64k-row groups everywhere).
+
+    ``files``: ``FileMeta`` list (schema-failed entries are skipped) or plain
+    path list (footers consulted driver-side for row-group counts).
+    ``min_parallel``: when the natural row-group count is BELOW this, fall
+    back to Ray's split path (unfused) — the right trade for a compute-bound
+    downstream stage over an input with too few row groups to keep the
+    cluster busy (e.g. a single-row-group file feeding MinHash emission).
+    """
+    import ray.data
+
+    if files and isinstance(files[0], FileMeta):
+        ok = [f for f in files if f.schema_ok]
+        paths = [f.path for f in ok]
+        n_rg = sum(max(1, len(f.row_group_rows)) for f in ok)
+    else:
+        paths = list(files)
+        n_rg = 0
+        for p in paths:
+            try:
+                n_rg += max(1, open_parquet_file(p).metadata.num_row_groups)
+            except Exception:  # noqa: BLE001 — unreadable: let read_parquet surface it
+                n_rg += 1
+    if not paths:
+        raise ValueError("read_fused: no readable files in plan")
+    if n_rg < min_parallel:
+        return ray.data.read_parquet(paths, columns=columns)
+    return ray.data.read_parquet(paths, columns=columns, override_num_blocks=n_rg)

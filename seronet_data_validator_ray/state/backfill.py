@@ -56,8 +56,10 @@ class ParquetReferenceFetcher:
             pos = np.minimum(np.searchsorted(k, vals), len(k) - 1)
             return batch.filter(pa.array(k[pos] == vals))
 
-        ds = ray.data.read_parquet(
-            os.path.join(self.prior_dir, f"{table}.parquet"),
+        from seronet_data_validator_ray.sources.parquet import read_fused
+
+        ds = read_fused(
+            [os.path.join(self.prior_dir, f"{table}.parquet")],
             columns=self.columns.get(table),
         )
         return ds_to_table(ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True))
@@ -90,7 +92,9 @@ def _collect_keys(spec, column: str) -> np.ndarray:
     import glob as _glob
 
     paths = sorted(_glob.glob(files))
-    ds = ray.data.read_parquet(paths, columns=[column])
+    from seronet_data_validator_ray.sources.parquet import read_fused
+
+    ds = read_fused(paths, columns=[column])
     t = ds_to_table(ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True))
     return np.unique(t[column].to_numpy(zero_copy_only=False))
 

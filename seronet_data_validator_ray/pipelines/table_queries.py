@@ -2608,93 +2608,106 @@ FROM r
 def customer_rfm(sf_dir: str) -> pa.Table:
     """RFM segmentation (recency / frequency / monetary + spend quartile) —
     the aggregate-then-window composite: per-batch combiners shrink orders to
-    distinct-custkey cells, ONE groupby(custkey) shuffle finishes the exact
-    aggregates, then the quartile comes from the orders_percentile machinery
-    (range-partitioned global sort by (-monetary, custkey) + scalar per-block
-    rank prefix; driver state = block count)."""
+    distinct-custkey cells, then the customer-keyed bucketed exchange (the
+    uniqueness/dedup machinery — 16-32 B rows, Dataset.groupby's fixed
+    per-block cost dwarfs this payload, BASELINE.md) finishes the exact
+    aggregates. The quartile finish is a driver-side lexsort: this query's
+    CONTRACT materializes one row per customer on the driver regardless (as
+    every per-row-output query does), so ranking where the rows already are
+    adds nothing to the scale posture — a keep-the-rows-distributed variant
+    would instead write the exchange output to parquet and take the
+    orders_percentile range-partitioned sort."""
     import numpy as np
-    import ray
+
+    from seronet_data_validator_ray.functions.dedup import _bucketed_pair_exchange
 
     def combine(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
-                "o_custkey": batch["o_custkey"],
+                "bkey": pc.cast(batch["o_custkey"], pa.int64()),
                 "cents": _cents(batch["o_totalprice"]),
                 "ts": pc.cast(batch["o_orderdate"], pa.int64()),
             }
         )
-        g = t.group_by("o_custkey").aggregate(
+        g = t.group_by("bkey").aggregate(
             [("cents", "sum"), ("cents", "count"), ("ts", "max")]
         )
         return pa.table(
             {
-                "o_custkey": g["o_custkey"],
+                "bkey": g["bkey"],
                 "monetary_cents": g["cents_sum"],
                 "frequency": pc.cast(g["cents_count"], pa.int64()),
                 "ts_max": g["ts_max"],
             }
         )
 
-    from ray.data.aggregate import Max, Sum
-
-    # vectorized groupby finish (NOT map_groups: one Python call per customer
-    # is a row-wise loop in disguise — 15k calls at sf0.1 cost ~10 s)
-    agg = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
-        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Sum("frequency"), Sum("monetary_cents"), Max("ts_max"))
+    _RFM_SCHEMA = pa.schema(
+        [
+            ("bkey", pa.int64()),
+            ("monetary_cents", pa.int64()),
+            ("frequency", pa.int64()),
+            ("ts_max", pa.int64()),
+        ]
     )
 
-    def neg_key(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "frequency": pc.cast(batch["sum(frequency)"], pa.int64()),
-                "monetary_cents": pc.cast(batch["sum(monetary_cents)"], pa.int64()),
-                "ts_max": pc.cast(batch["max(ts_max)"], pa.int64()),
-                "neg_m": pc.negate(pc.cast(batch["sum(monetary_cents)"], pa.int64())),
-            }
-        )
-
-    mat = agg.map_batches(neg_key, batch_format="pyarrow").sort(["neg_m", "o_custkey"]).materialize()
-    refs = mat.to_arrow_refs()
-
-    def block_count(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([ray.remote(block_count).remote(r) for r in refs])
-    n = int(sum(counts))
-    bases = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=bases[1:])
-    K = 4
-    size_base, rem = divmod(n, K)
-
-    def emit(t: pa.Table, base: int) -> pa.Table:
-        rank = base + np.arange(t.num_rows, dtype=np.int64)
-        big = size_base + 1
-        cut = rem * big
-        bucket = np.where(
-            rank < cut, rank // max(big, 1), rem + (rank - cut) // max(size_base, 1)
-        )
-        day = (t["ts_max"].to_numpy(zero_copy_only=False) // 86_400_000_000).astype(
-            "datetime64[D]"
+    def reduce_rfm(*parts, state=None, state_ref=None, hot_rows=None) -> pa.Table:
+        parts = [p for p in parts if p is not None and len(p)]
+        if not parts:
+            return _RFM_SCHEMA.empty_table()
+        t = pa.concat_tables(parts)
+        g = t.group_by("bkey").aggregate(
+            [("monetary_cents", "sum"), ("frequency", "sum"), ("ts_max", "max")]
         )
         return pa.table(
             {
-                "o_custkey": t["o_custkey"],
-                "frequency": t["frequency"],
-                "monetary_cents": t["monetary_cents"],
-                "last_order_day": pa.array([str(d) for d in day], type=pa.string()),
-                "quartile": pa.array(bucket + 1, type=pa.int64()),
+                "bkey": g["bkey"],
+                "monetary_cents": g["monetary_cents_sum"],
+                "frequency": pc.cast(g["frequency_sum"], pa.int64()),
+                "ts_max": g["ts_max_max"],
             }
         )
 
-    emit_task = ray.remote(emit)
-    outs = [
-        t for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)]) if len(t)
-    ]
-    return pa.concat_tables(outs).sort_by("o_custkey")
+    combined = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = _bucketed_pair_exchange(combined, reduce_rfm, distinct_output=False)
+    if agg.num_rows == 0:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], type=pa.int64()),
+                "frequency": pa.array([], type=pa.int64()),
+                "monetary_cents": pa.array([], type=pa.int64()),
+                "last_order_day": pa.array([], type=pa.string()),
+                "quartile": pa.array([], type=pa.int64()),
+            }
+        )
+    cust = agg["bkey"].to_numpy(zero_copy_only=False)
+    money = agg["monetary_cents"].to_numpy(zero_copy_only=False)
+    # ntile(4) ORDER BY monetary DESC, custkey — exact SQL tiling: the first
+    # (n % 4) tiles get one extra row
+    order = np.lexsort((cust, -money))
+    n = len(cust)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    size_base, rem = divmod(n, 4)
+    big = size_base + 1
+    cut = rem * big
+    quartile = np.where(
+        rank < cut, rank // max(big, 1), rem + (rank - cut) // max(size_base, 1)
+    )
+    day = (agg["ts_max"].to_numpy(zero_copy_only=False) // 86_400_000_000).astype(
+        "datetime64[D]"
+    )
+    return pa.table(
+        {
+            "o_custkey": agg["bkey"],
+            "frequency": agg["frequency"],
+            "monetary_cents": agg["monetary_cents"],
+            "last_order_day": pa.array(day.astype(str), type=pa.string()),
+            "quartile": pa.array(quartile + 1, type=pa.int64()),
+        }
+    ).sort_by("o_custkey")
 
 
 # ------------------------------------------------------- dense-rank with ties

@@ -1872,13 +1872,19 @@ def token_dedup_groups(seq_ds, hash_fn=None) -> pa.Table:
     hfn = hash_fn if hash_fn is not None else token_seq_hash_batch
 
     def emit(batch: pa.Table) -> pa.Table:
-        ok = pc.and_(
-            pc.is_valid(batch["tokens"]),
+        ok = pc.fill_null(
             pc.and_(
-                pc.is_valid(batch["doc_id"]), pc.not_equal(pc.fill_null(batch["doc_id"], ""), "")
+                pc.is_valid(batch["tokens"]),
+                pc.and_(
+                    pc.is_valid(batch["doc_id"]),
+                    pc.not_equal(pc.fill_null(batch["doc_id"], ""), ""),
+                ),
             ),
+            False,
         )
-        sub = batch.filter(pc.fill_null(ok, False))
+        # filter COPIES the whole token payload (hundreds of MB per block);
+        # the null contract almost never fires, so only pay when it does
+        sub = batch if pc.all(ok).as_py() else batch.filter(ok)
         h = hfn(sub).view(np.int64)
         from seronet_data_validator_ray.rules.kernels import flat_list_view
 
@@ -1940,13 +1946,17 @@ def token_dedup_groups(seq_ds, hash_fn=None) -> pa.Table:
 
     def gather(batch: pa.Table, ref=h_ref) -> pa.Table:
         mh = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        ok = pc.and_(
-            pc.is_valid(batch["tokens"]),
+        ok = pc.fill_null(
             pc.and_(
-                pc.is_valid(batch["doc_id"]), pc.not_equal(pc.fill_null(batch["doc_id"], ""), "")
+                pc.is_valid(batch["tokens"]),
+                pc.and_(
+                    pc.is_valid(batch["doc_id"]),
+                    pc.not_equal(pc.fill_null(batch["doc_id"], ""), ""),
+                ),
             ),
+            False,
         )
-        sub = batch.filter(pc.fill_null(ok, False))
+        sub = batch if pc.all(ok).as_py() else batch.filter(ok)
         h = hfn(sub).view(np.int64)
         pos = np.minimum(np.searchsorted(mh, h), len(mh) - 1)
         m = mh[pos] == h

@@ -34,9 +34,12 @@ def query(name: str, sql: str | None = None):
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    # fused: every first map in this module is a cheap vectorized kernel
+    # (scalar arithmetic / combiners), so the read->map fusion saves the
+    # split machinery + decoded-table object-store round trip on every scan
     from seronet_data_validator_ray.util import read_sf_table
 
-    return read_sf_table(sf_dir, table, columns)
+    return read_sf_table(sf_dir, table, columns, fused=True)
 
 
 def _ds_table(ds) -> pa.Table:

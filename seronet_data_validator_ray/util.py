@@ -42,22 +42,35 @@ def ds_to_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     return pa.concat_tables(tables)
 
 
-def read_sf_table(sf_dir: str, table: str, columns=None):
+def read_sf_table(sf_dir: str, table: str, columns=None, fused: bool = False):
     """read_parquet of one sf table with a NAMED empty-corpus guard: Ray Data
     never invokes map_batches UDFs on zero-row inputs, so an all-empty table
     would otherwise surface as an opaque schema-less KeyError deep in the
     pipeline. Empty BATCHES mid-pipeline (filters, empty partitions among
     non-empty ones) are handled inside every kernel; this guards the
-    all-empty corner only."""
+    all-empty corner only.
+
+    ``fused=True`` pins ``override_num_blocks`` to the file's row-group count
+    so the read FUSES with the first map stage (≈0.6 s of split machinery +
+    an object-store round trip of the decoded table saved per scan — see
+    sources/parquet.read_fused). Right for scans whose first map is a cheap
+    vectorized kernel; WRONG for compute-bound first maps over a
+    few-row-group file (a single-row-group documents file feeding MinHash
+    emission would serialize the shingling on one core)."""
     import os
 
     import pyarrow.parquet as pq
     import ray.data
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if pq.read_metadata(path).num_rows == 0:
+    md = pq.read_metadata(path)
+    if md.num_rows == 0:
         raise ValueError(
             f"input table {table!r} at {sf_dir} is empty — sf-table queries "
             "require a non-empty corpus"
+        )
+    if fused:
+        return ray.data.read_parquet(
+            path, columns=columns, override_num_blocks=max(1, md.num_row_groups)
         )
     return ray.data.read_parquet(path, columns=columns)

@@ -333,3 +333,49 @@ def test_corrupt_file_gates_partition_not_run(ray_session, tmp_path):
     # badschema file stays gated for its own reason)
     healthy = verd.drop(index=["part-corrupt-0000.parquet", "part-badschema-0000.parquet"])
     assert healthy["schema_ok"].all()
+
+
+def test_read_fused_matches_plain_read(ray_session, tmp_path):
+    """read_fused (override_num_blocks = Σ row groups, fuses with the first
+    map stage) must be row-for-row identical to the plain read on multi-file
+    multi-row-group input, accept FileMeta lists (skipping schema-failed
+    entries) and plain path lists, honor the min_parallel escape hatch, and
+    name the empty-plan error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from seronet_data_validator_ray.sources.parquet import FileMeta, read_fused
+
+    paths = []
+    for i in range(3):
+        t = pa.table(
+            {
+                "k": pa.array(range(i * 100, i * 100 + 100), type=pa.int64()),
+                "v": pa.array([f"r{j}" for j in range(100)], type=pa.string()),
+            }
+        )
+        p = str(tmp_path / f"part-{i}.parquet")
+        pq.write_table(t, p, row_group_size=32)  # 4 row groups per file
+        paths.append(p)
+
+    def collect(ds):
+        return sorted(ds.map_batches(lambda b: b, batch_format="pyarrow").take_all(), key=lambda r: r["k"])
+
+    plain = collect(ray.data.read_parquet(paths, columns=["k", "v"]))
+    assert collect(read_fused(paths, columns=["k", "v"])) == plain
+
+    metas = [
+        FileMeta(path=p, partition=p, num_rows=100, row_group_rows=[32, 32, 32, 4], schema_ok=True)
+        for p in paths
+    ]
+    metas.append(
+        FileMeta(path=str(tmp_path / "garbage"), partition="g", num_rows=0, row_group_rows=[], schema_ok=False)
+    )
+    assert collect(read_fused(metas, columns=["k", "v"])) == plain
+    # min_parallel above the natural row-group count -> split path, same rows
+    assert collect(read_fused(paths, columns=["k", "v"], min_parallel=999)) == plain
+
+    with pytest.raises(ValueError, match="no readable files"):
+        read_fused([m for m in metas if not m.schema_ok])

@@ -621,3 +621,35 @@ def test_token_seq_hash_separates_distinct_arrays(arrays, n_chunks):
     assert all(len(v) == 1 for v in by_content.values())
     hashes = [next(iter(v)) for v in by_content.values()]
     assert len(set(hashes)) == len(hashes)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-(2**31), 2**31 - 1), max_size=9),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 16),
+)
+@settings(max_examples=60, deadline=None)
+def test_token_seq_hash_internal_chunking_invariant(arrays, chunk_tokens):
+    """The scratch-buffer chunked evaluation (round 5: no flat-sized
+    temporaries) must be invariant to the internal chunk budget — forcing
+    _TOKSEQ_CHUNK down to a few tokens exercises every chunk-boundary shape
+    (empty rows at boundaries, rows spanning chunks, oversize single rows)
+    against the default one-chunk result. int32 extremes are in-strategy:
+    2^31-1 + C overflowing a demoted int32 add loop was a real planted bug."""
+    import numpy as np
+
+    from seronet_data_validator_ray.functions import dedup
+
+    tbl = pa.table({"tokens": pa.array(arrays, type=pa.list_(pa.int32()))})
+    base = dedup.token_seq_hash_batch(tbl)
+    orig = dedup._TOKSEQ_CHUNK
+    try:
+        dedup._TOKSEQ_CHUNK = chunk_tokens
+        forced = dedup.token_seq_hash_batch(tbl)
+    finally:
+        dedup._TOKSEQ_CHUNK = orig
+    assert (forced == base).all()
+    assert base.dtype == np.uint64

@@ -30,10 +30,17 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, fused: bool | None = None):
+    # fused defaults ON for metadata-only scans (no text payload column):
+    # their first map is always a cheap kernel, so fusion saves the split
+    # machinery per scan. Scans that decode `text` or `embedding` keep Ray's
+    # split path — their first maps (shingling, minhash, regex, matmul) are
+    # compute-bound and must not serialize onto the (often single) row group.
     from seronet_data_validator_ray.util import read_sf_table
 
-    return read_sf_table(sf_dir, table, columns)
+    if fused is None:
+        fused = columns is not None and not {"text", "embedding"} & set(columns)
+    return read_sf_table(sf_dir, table, columns, fused=fused)
 
 
 def _collect(ds) -> pa.Table:

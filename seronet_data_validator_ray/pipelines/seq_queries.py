@@ -397,7 +397,13 @@ def seq_token_hist(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.sources.parquet import read_fused
 
     ds = read_fused(plan.files, columns=["tokens", "source"]).map_batches(
-        partial_hist, batch_format="pyarrow", zero_copy_batch=True
+        partial_hist,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        # the kernel allocates flat-sized temporaries (bins, parent); ~8k
+        # rows ≈ 4M tokens keeps them cache-resident instead of paying
+        # first-touch pages for 0.5 GB per whole-file fused block
+        batch_size=8192,
     )
     # partials are <= n_sources * 64 rows per block: merge with one
     # driver-side Arrow group_by (Ray's distributed aggregate has a fixed
@@ -813,7 +819,10 @@ def _tagged_hist_partials(d: str, tag: str):
     from seronet_data_validator_ray.sources.parquet import read_fused
 
     return read_fused(plan.files, columns=["tokens", "n_tok", "source"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,  # bound the flat-sized histogram temporaries
     )
 
 
@@ -1218,7 +1227,10 @@ def seq_oov_rate(sf_dir: str) -> pa.Table:
     from seronet_data_validator_ray.sources.parquet import read_fused
 
     ds = read_fused(plan.files, columns=["tokens", "source"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,  # bound the flat-sized membership temporaries
     )
     from seronet_data_validator_ray.util import ds_to_table
 
@@ -1327,8 +1339,27 @@ def seq_repetition_stats(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.sources.parquet import read_fused
 
-    ds = read_fused(plan.files, columns=["doc_id", "tokens"]).map_batches(
-        stats, batch_format="pyarrow", zero_copy_batch=True
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_fused(
+        plan.files,
+        columns=["doc_id", "tokens"],
+        # this is the one converted seq scan where the SPLIT path measured
+        # faster at row-group counts below ~2 CPUs (same-window A/B: plain
+        # {8.6, 5.2, 7.3} s vs fused {18, 8.3, 8.3} s at 20 row groups /
+        # 32 CPUs): the np.unique sort is compute-bound and the 200k-row
+        # per-doc output needs many small blocks more than it needs to
+        # skip the decoded-input round trip
+        min_parallel=2 * ncpu,
+    ).map_batches(
+        stats,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        # ~4k rows ≈ 2M tokens keeps the packed (row<<32|token) sort
+        # cache-resident; a whole-file block paid first-touch pages on
+        # three 0.5 GB temporaries per task (measured 4 s -> 29 s)
+        batch_size=4096,
     )
     from seronet_data_validator_ray.util import ds_to_table
 

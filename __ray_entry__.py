@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     # (1) round-5 additions
     "docs_dedup_spans",
     "dedup_minhash_incremental",
+    "docs_epoch_shuffle",
     # (2) changed this round
     "events_funnel",
     "docs_stratified_sample",
@@ -148,8 +149,11 @@ _VERIFY_FIRST = [
     "reconcile_part_lineitem",
     "revenue_by_nation",
     "seq_curriculum",
-    "seq_drift",
     # ---- 50-slot window cutoff lands here ----
+    # (seq_drift slides just past the cutoff to make room for
+    # docs_epoch_shuffle — last external green r3, age 2, within the
+    # ≤3-round staleness bound and locally re-verified every session)
+    "seq_drift",
     "seq_oov_rate",
     "seq_pack",
     "seq_shard_balance",

@@ -206,6 +206,7 @@ QUERY_NAMES = [
     "part_pareto_frontier",
     "docs_source_overlap",
     "docs_vocab_encode",
+    "docs_epoch_shuffle",
     "docs_dedup_spans",
     "dedup_minhash_incremental",
     "events_funnel",

@@ -2163,6 +2163,87 @@ def docs_sample_topk_hash(sf_dir: str) -> pa.Table:
     )
 
 
+_EPOCH_SEED = 7
+_EPOCH_SHARDS = 16
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, (doc_id * 2654435761 + {_EPOCH_SEED}) % 4294967296 AS rank_h
+  FROM documents
+)
+SELECT doc_id, rank_h,
+       CAST(row_number() OVER (ORDER BY rank_h, doc_id) - 1 AS BIGINT) AS pos,
+       CAST((row_number() OVER (ORDER BY rank_h, doc_id) - 1) % {_EPOCH_SHARDS}
+            AS BIGINT) AS shard
+FROM r
+"""
+
+
+@query("docs_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def docs_epoch_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic EPOCH SHUFFLE + round-robin shard assignment — the
+    reproducible analog of ``Dataset.random_shuffle(seed)`` a training run
+    needs for resumable epochs: every doc gets a seeded splittable integer
+    rank (Knuth multiplicative, exact in int64 — the docs_sample_topk_hash
+    hash with an additive epoch seed), ONE range-partitioned global sort by
+    (rank, doc_id) orders the epoch, the global position comes from scalar
+    per-block counts (block-count-sized driver state — the
+    orders_percentile prefix pattern), and ``shard = pos % N`` assigns the
+    round-robin output shard. Identical inputs + seed → identical epoch
+    order on re-runs and resumed runs, regardless of block layout. At
+    production scale each block writes shard-partitioned parquet instead of
+    returning rows (this query's contract returns the assignment table).
+    ≙ SURVEY §2.7 sort family; the training-side counterpart of
+    seq_curriculum's difficulty ordering."""
+    import numpy as np
+    import ray
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761) + np.int64(_EPOCH_SEED)) % np.int64(4294967296)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "rank_h": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["rank_h", "doc_id"])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+
+    def block_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    count_task = ray.remote(block_count)
+    counts = ray.get([count_task.remote(r) for r in refs])
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+
+    def emit(t: pa.Table, base: int) -> pa.Table:
+        pos = base + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank_h": t["rank_h"],
+                "pos": pa.array(pos, type=pa.int64()),
+                "shard": pa.array(pos % _EPOCH_SHARDS, type=pa.int64()),
+            }
+        )
+
+    emit_task = ray.remote(emit)
+    outs = [
+        t
+        for t in ray.get([emit_task.remote(r, int(b)) for r, b in zip(refs, bases)])
+        if len(t)
+    ]
+    return pa.concat_tables(outs).sort_by("doc_id")
+
+
 _VOCAB_ENCODE_SQL = """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 v AS (

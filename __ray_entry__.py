@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "docs_dedup_spans",
     "dedup_minhash_incremental",
     "docs_epoch_shuffle",
+    "docs_split_assign",
     # (2) changed this round
     "events_funnel",
     "docs_stratified_sample",
@@ -148,11 +149,12 @@ _VERIFY_FIRST = [
     "pii_scrub",
     "reconcile_part_lineitem",
     "revenue_by_nation",
-    "seq_curriculum",
     # ---- 50-slot window cutoff lands here ----
-    # (seq_drift slides just past the cutoff to make room for
-    # docs_epoch_shuffle — last external green r3, age 2, within the
-    # ≤3-round staleness bound and locally re-verified every session)
+    # (seq_curriculum and seq_drift slide just past the cutoff to make room
+    # for docs_epoch_shuffle / docs_split_assign — last external green r3,
+    # age 2, within the ≤3-round staleness bound and locally re-verified
+    # every session)
+    "seq_curriculum",
     "seq_drift",
     "seq_oov_rate",
     "seq_pack",

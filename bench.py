@@ -221,6 +221,7 @@ QUERY_NAMES = [
     "docs_source_overlap",
     "docs_vocab_encode",
     "docs_epoch_shuffle",
+    "docs_split_assign",
     "docs_dedup_spans",
     "dedup_minhash_incremental",
     "events_funnel",

@@ -2244,6 +2244,128 @@ def docs_epoch_shuffle(sf_dir: str) -> pa.Table:
     return pa.concat_tables(outs).sort_by("doc_id")
 
 
+_SPLIT_SEED = 13
+
+_SPLIT_ASSIGN_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang, (doc_id * 2654435761 + {_SPLIT_SEED}) % 4294967296 AS rank_h
+  FROM documents
+), p AS (
+  SELECT doc_id, lang, rank_h,
+         row_number() OVER (PARTITION BY lang ORDER BY rank_h, doc_id) - 1 AS pos,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM r
+)
+SELECT doc_id, lang, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN pos * 10 < n_lang * 8 THEN 'train'
+            WHEN pos * 10 < n_lang * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM p
+"""
+
+
+@query("docs_split_assign", _SPLIT_ASSIGN_SQL)
+def docs_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic STRATIFIED train/val/test split — exact 80/10/10 WITHIN
+    each language, reproducible from doc_ids alone (the eval-split
+    contract: re-runs, resumed runs and incremental reprocessing must agree
+    on membership). Same machinery family as docs_epoch_shuffle, per-group:
+    seeded Knuth rank per doc, ONE range-partitioned sort by
+    (lang, rank_h, doc_id) so each language's rank order is contiguous
+    across blocks, per-(block, lang) counts prefix-summed on the driver
+    (blocks × languages cells — language cardinality is small by nature),
+    and the within-language position comes from vectorized segment
+    arithmetic per block. The split rule (pos·10 < n·8 → train, < n·9 →
+    val, else test) floors exactly like the SQL window form. At production
+    scale each block writes split-partitioned parquet; this query's
+    contract returns the assignment table."""
+    import numpy as np
+    import ray
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761) + np.int64(_SPLIT_SEED)) % np.int64(4294967296)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang": batch["lang"],
+                "rank_h": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    mat = (
+        _read(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["lang", "rank_h", "doc_id"])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+
+    def lang_counts(t: pa.Table) -> dict:
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        u, c = np.unique(lang, return_counts=True)
+        return {str(k): int(v) for k, v in zip(u, c)}
+
+    counts_task = ray.remote(lang_counts)
+    per_block = ray.get([counts_task.remote(r) for r in refs])
+    totals: dict[str, int] = {}
+    bases: list[dict[str, int]] = []
+    for cb in per_block:
+        bases.append({k: totals.get(k, 0) for k in cb})
+        for k, v in cb.items():
+            totals[k] = totals.get(k, 0) + v
+
+    def emit(t: pa.Table, base: dict, total: dict) -> pa.Table:
+        lang = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        n = len(lang)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "split": pa.array([], type=pa.string()),
+                }
+            )
+        # blocks are sorted by lang first: same-lang rows are contiguous
+        change = np.ones(n, dtype=bool)
+        change[1:] = lang[1:] != lang[:-1]
+        seg_starts = np.nonzero(change)[0]
+        local = np.arange(n, dtype=np.int64)
+        local -= np.repeat(seg_starts, np.diff(np.append(seg_starts, n)))
+        seg_langs = lang[seg_starts]
+        pos = local + np.repeat(
+            np.array([base[str(l)] for l in seg_langs], dtype=np.int64),
+            np.diff(np.append(seg_starts, n)),
+        )
+        n_lang = np.repeat(
+            np.array([total[str(l)] for l in seg_langs], dtype=np.int64),
+            np.diff(np.append(seg_starts, n)),
+        )
+        p10 = pos * 10
+        split = np.where(
+            p10 < n_lang * 8, "train", np.where(p10 < n_lang * 9, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "pos": pa.array(pos, type=pa.int64()),
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    emit_task = ray.remote(emit)
+    outs = [
+        t
+        for t in ray.get(
+            [emit_task.remote(r, b, totals) for r, b in zip(refs, bases)]
+        )
+        if len(t)
+    ]
+    return pa.concat_tables(outs).sort_by("doc_id")
+
+
 _VOCAB_ENCODE_SQL = """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 v AS (

@@ -1281,6 +1281,10 @@ def test_combiner_queries_block_invariant(ray_session):
         "docs_quota_sample", "customer_mode_segment", "events_mad_outliers",
         "part_pareto_frontier", "events_cumulative_users", "events_top_paths",
         "docs_vocab_encode", "seq_dedup_tokens",
+        # round-5 sort+scalar-prefix shapes (the per-block base-offset bug
+        # class — an emit that only works when the sort yields one block —
+        # cannot hide from 64 KiB blocks)
+        "docs_epoch_shuffle", "docs_split_assign", "customer_rfm",
     ]
     sf = "/root/testdata/sf0.001"
     base = {n: qs[n](sf).to_pandas() for n in names}

@@ -756,14 +756,19 @@ def _drift_hist_partial(batch: pa.Table) -> pa.Table:
     from seronet_data_validator_ray.rules.kernels import flat_list_view
 
     lengths, flat = flat_list_view(batch, "tokens", {})
-    tb = flat.astype(np.int64, copy=True)
-    np.multiply(tb, np.int64(_NBINS), out=tb)
-    np.floor_divide(tb, np.int64(VOCAB), out=tb)
+    # int32 throughout: tok*_NBINS <= (VOCAB-1)*64 ≈ 3.2M fits comfortably,
+    # and halving the flat-sized temporaries matters on this
+    # first-touch-bound host (BASELINE.md round 5)
+    tb = flat.astype(np.int32, copy=True)
+    np.multiply(tb, np.int32(_NBINS), out=tb)
+    np.floor_divide(tb, np.int32(VOCAB), out=tb)
     np.clip(tb, 0, _NBINS - 1, out=tb)
     src = np.asarray(batch.column("source").to_numpy(zero_copy_only=False), dtype=object)
     uniq, gidx = np.unique(src, return_inverse=True)
-    parent = np.repeat(gidx, lengths)
-    combo_t = np.bincount(parent * _NBINS + tb, minlength=len(uniq) * _NBINS).reshape(
+    parent = np.repeat(gidx.astype(np.int32), lengths)
+    np.multiply(parent, np.int32(_NBINS), out=parent)
+    np.add(tb, parent, out=tb)  # in-place (group, bin) combine
+    combo_t = np.bincount(tb, minlength=len(uniq) * _NBINS).reshape(
         len(uniq), _NBINS
     )
     nt = batch.column("n_tok")
@@ -1211,11 +1216,13 @@ def seq_oov_rate(sf_dir: str) -> pa.Table:
         # every flat token belongs to a row with length >= 1, so repeating the
         # per-row group id by length covers the whole oov mask; len-0 rows
         # contribute nothing (any placeholder gid works — 0 is safe)
-        gid_of_row = np.zeros(len(lengths), dtype=np.int64)
+        gid_of_row = np.zeros(len(lengths), dtype=np.int32)
         gid_of_row[keep] = gidx
         tok_gid = np.repeat(gid_of_row, lengths)
         n_tok = np.bincount(gidx, weights=lengths[keep], minlength=len(uniq)).astype(np.int64)
-        n_oov = np.bincount(tok_gid, weights=oov, minlength=len(uniq)).astype(np.int64)
+        # count only the (rare) OOV tokens — bincount with a float weights
+        # array would materialize a flat-sized float64 temporary
+        n_oov = np.bincount(tok_gid[oov], minlength=len(uniq)).astype(np.int64)
         return pa.table(
             {
                 "source": pa.array([str(u) for u in uniq], type=pa.string()),
